@@ -1,0 +1,135 @@
+"""3D Gaussian → screen-space projection (EWA splatting).
+
+Semantics match the gsplat CUDA projection used by the reference
+(``/root/reference/src/model.py:339-365`` with ``packed=False``,
+``rasterize_mode="classic"``, ``sh_degree=None``, ``near_plane=0.01``,
+``far_plane=1e10``, ``radius_clip``):
+
+- world→camera via the viewmat; perspective EWA Jacobian with the classic
+  1.3x tan-FOV clamping; 2D covariance = J Σ_cam Jᵀ + 0.3·I (classic mode:
+  no opacity compensation);
+- conic = inverse 2D covariance; radius = ceil(3σ_max) from the dominant
+  eigenvalue; culling produces a *validity mask* (static shapes) instead of
+  compaction.
+
+Everything is batched over Gaussians; camera batching is done by ``vmap``
+at the call site. Returns only regular arrays, so it fuses into the
+surrounding jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pose_splatter_tpu.utils.geometry import quat_normalize, quat_to_rotmat
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space Gaussians for one camera (all [N,...])."""
+
+    mean2d: jnp.ndarray  # [N, 2] pixel coordinates
+    conic: jnp.ndarray  # [N, 3] upper-triangular inverse covariance (a, b, c)
+    depth: jnp.ndarray  # [N] camera-space z
+    radius: jnp.ndarray  # [N] conservative pixel radius
+    valid: jnp.ndarray  # [N] bool: in frustum, invertible, radius > clip
+
+
+def quat_scale_to_covar(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """[N,4] quats (unnormalized ok) + [N,3] scales → [N,3,3] covariance."""
+    R = quat_to_rotmat(quat_normalize(quats))
+    M = R * scales[..., None, :]  # R @ diag(s)
+    return jnp.einsum("...ij,...kj->...ik", M, M)
+
+
+def project_gaussians(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    eps2d: float = 0.3,
+) -> ProjectedGaussians:
+    """Project [N] 3D Gaussians into one camera's screen space.
+
+    Args:
+        means/quats/scales: [N,3], [N,4], [N,3] world-space Gaussians
+            (scales are linear, i.e. already exp'd).
+        viewmat: [4,4] world→camera; K: [3,3] intrinsics.
+    """
+    Rcw = viewmat[:3, :3]
+    tcw = viewmat[:3, 3]
+    mean_c = means @ Rcw.T + tcw  # [N, 3]
+    depth = mean_c[:, 2]
+
+    cov3d = quat_scale_to_covar(quats, scales)  # [N,3,3]
+    cov_cam = jnp.einsum("ij,njk,lk->nil", Rcw, cov3d, Rcw)  # [N,3,3]
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    # Classic EWA: clamp the tangent-plane coordinates to 1.3x the FOV.
+    tan_fovx = 0.5 * width / fx
+    tan_fovy = 0.5 * height / fy
+    z = depth
+    safe_z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    tx = jnp.clip(mean_c[:, 0] / safe_z, -1.3 * tan_fovx, 1.3 * tan_fovx) * z
+    ty = jnp.clip(mean_c[:, 1] / safe_z, -1.3 * tan_fovy, 1.3 * tan_fovy) * z
+
+    inv_z = 1.0 / safe_z
+    inv_z2 = inv_z * inv_z
+    # J: [N, 2, 3] perspective Jacobian at the (clamped) mean.
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    zeros = jnp.zeros_like(j00)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zeros, j02], -1),
+            jnp.stack([zeros, j11, j12], -1),
+        ],
+        -2,
+    )
+
+    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)  # [N,2,2]
+    a = cov2d[:, 0, 0] + eps2d
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + eps2d
+    det = a * c - b * b
+    safe_det = jnp.where(det <= 0, 1.0, det)
+    conic = jnp.stack([c / safe_det, -b / safe_det, a / safe_det], -1)  # [N,3]
+
+    mean2d = jnp.stack(
+        [fx * mean_c[:, 0] * inv_z + cx, fy * mean_c[:, 1] * inv_z + cy], -1
+    )
+
+    # Conservative radius: 3 sigma of the dominant eigenvalue.
+    mid = 0.5 * (a + c)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    inside = (
+        (mean2d[:, 0] + radius > 0)
+        & (mean2d[:, 0] - radius < width)
+        & (mean2d[:, 1] + radius > 0)
+        & (mean2d[:, 1] - radius < height)
+    )
+    valid = (
+        (depth > near_plane)
+        & (depth < far_plane)
+        & (det > 0)
+        & (radius > radius_clip)
+        & inside
+    )
+
+    return ProjectedGaussians(
+        mean2d=mean2d, conic=conic, depth=depth, radius=radius, valid=valid
+    )

@@ -1,0 +1,484 @@
+"""Differentiable Gaussian rasterization (3D perspective + 2D image-space).
+
+TPU-native from-scratch design — NOT a port of the CUDA tile rasterizer.
+Key ideas:
+
+1. **Static shapes everywhere.** Culling/selection produce validity masks,
+   never compactions. Per-tile Gaussian lists have fixed capacity with an
+   overflow count returned to the caller (no silent truncation).
+
+2. **Compositing without a sequential per-Gaussian loop.** Front-to-back
+   alpha compositing obeys ``T_i = Π_{j<i}(1 - a_j)``, so
+   ``log T_i = Σ_{j<i} log1p(-a_j)`` is an *exclusive cumsum* over the
+   Gaussian axis. We scan over Gaussian chunks carrying per-pixel ``log T``;
+   within a chunk the cumsum is a parallel VPU op over ``[chunk, pixels]``.
+   This is exact (not an approximation) and fully differentiable; XLA autodiff
+   of the scan is the reference gradient path, and the Pallas kernels
+   (``rasterize_pallas.py``) are validated against it.
+
+3. **Tile binning in depth order.** Gaussians are depth-sorted once per
+   camera (XLA sort); per tile a stable argsort over the intersection mask
+   selects the first ``capacity`` intersecting Gaussians *already in depth
+   order*. Tiles are VPU-aligned (last dim a multiple of 128).
+
+Semantics parity (reference gsplat path, ``/root/reference/src/model.py:339-365``
+and ``src/gaussian_renderer.py:157-211``):
+  alpha = min(0.999, opacity * exp(-sigma)); skipped when sigma < 0 or
+  alpha < 1/255; compositing stops (per pixel) when T would drop below 1e-4;
+  background composited by transmittance.
+
+2D mode parity (``src/gaussian_renderer.py:269-427``): Gaussians composited
+in INPUT order (no depth sort), axis-aligned-in-rotated-frame ellipses
+``exp(-(dx'²/(2sx²+1e-8) + dy'²/(2sy²+1e-8)))``, no alpha clamp / skip /
+early-stop, integer pixel coordinates, background by transmittance.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pose_splatter_tpu.ops.projection import ProjectedGaussians, project_gaussians
+
+# gsplat/INRIA compositing constants.
+ALPHA_CLAMP = 0.999
+ALPHA_SKIP = 1.0 / 255.0
+STOP_T = 1e-4
+
+# Default tile shape: VPU-aligned (sublane x lane) pixel block.
+DEFAULT_TILE = (64, 128)
+
+
+# ----------------------------------------------------------------------------
+# Alpha evaluators: [chunk] Gaussians x [P] pixels -> [chunk, P] alphas.
+# ----------------------------------------------------------------------------
+
+def _alpha_conic(feats, xs, ys):
+    """3D mode: conic quadratic form, gsplat clamp/skip semantics."""
+    mean2d, conic, opacity = feats
+    dx = xs[None, :] - mean2d[:, 0:1]
+    dy = ys[None, :] - mean2d[:, 1:2]
+    sigma = (
+        0.5 * (conic[:, 0:1] * dx * dx + conic[:, 2:3] * dy * dy)
+        + conic[:, 1:2] * dx * dy
+    )
+    alpha = jnp.minimum(ALPHA_CLAMP, opacity[:, None] * jnp.exp(-sigma))
+    return jnp.where((sigma < 0) | (alpha < ALPHA_SKIP), 0.0, alpha)
+
+
+def _alpha_ellipse(feats, xs, ys):
+    """2D mode: rotated anisotropic Gaussian, reference semantics."""
+    mean2d, scales, theta, opacity = feats
+    dx = xs[None, :] - mean2d[:, 0:1]
+    dy = ys[None, :] - mean2d[:, 1:2]
+    c = jnp.cos(theta)[:, None]
+    s = jnp.sin(theta)[:, None]
+    dxr = c * dx + s * dy
+    dyr = -s * dx + c * dy
+    sx2 = 2.0 * scales[:, 0:1] ** 2 + 1e-8
+    sy2 = 2.0 * scales[:, 1:2] ** 2 + 1e-8
+    return opacity[:, None] * jnp.exp(-(dxr * dxr / sx2 + dyr * dyr / sy2))
+
+
+# ----------------------------------------------------------------------------
+# Chunked-scan compositor over a flat pixel block.
+# ----------------------------------------------------------------------------
+
+def composite_pixels(
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    feats,
+    colors: jnp.ndarray,
+    valid: jnp.ndarray,
+    alpha_fn: Callable,
+    chunk: int = 32,
+    early_stop: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Front-to-back composite N Gaussians over P pixels.
+
+    Args:
+        xs, ys: [P] pixel coordinates.
+        feats:  tuple of [N, ...] per-Gaussian screen features (already in
+                compositing order).
+        colors: [N, 3]; valid: [N] multiplicative mask in {0,1}.
+        alpha_fn: (chunk_feats, xs, ys) -> [chunk, P] alphas.
+        early_stop: apply the T < 1e-4 per-pixel stop (3D mode).
+
+    Returns:
+        rgb [P, 3], alpha [P].
+    """
+    N = colors.shape[0]
+    P = xs.shape[0]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+
+    def pad_to(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    feats_p = jax.tree.map(pad_to, tuple(feats))
+    colors_p = pad_to(colors)
+    valid_p = pad_to(valid.astype(colors.dtype))
+
+    def reshape_chunks(x):
+        return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+    feats_c = jax.tree.map(reshape_chunks, feats_p)
+    colors_c = reshape_chunks(colors_p)
+    valid_c = reshape_chunks(valid_p)
+
+    def body(carry, inputs):
+        log_t, rgb_acc, alpha_acc = carry
+        f, col, msk = inputs
+        a = alpha_fn(f, xs, ys) * msk[:, None]  # [chunk, P]
+        l1ma = jnp.log1p(-a)
+        excl = jnp.cumsum(l1ma, axis=0) - l1ma  # exclusive cumsum
+        T = jnp.exp(log_t[None, :] + excl)  # [chunk, P]
+        if early_stop:
+            contrib = jnp.where(T * (1.0 - a) >= STOP_T, a * T, 0.0)
+        else:
+            contrib = a * T
+        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", contrib, col)
+        alpha_acc = alpha_acc + contrib.sum(axis=0)
+        log_t = log_t + excl[-1] + l1ma[-1]
+        return (log_t, rgb_acc, alpha_acc), None
+
+    init = (
+        jnp.zeros((P,), colors.dtype),
+        jnp.zeros((P, 3), colors.dtype),
+        jnp.zeros((P,), colors.dtype),
+    )
+    (_, rgb, alpha), _ = jax.lax.scan(body, init, (feats_c, colors_c, valid_c))
+    return rgb, alpha
+
+
+# ----------------------------------------------------------------------------
+# Tile binning.
+# ----------------------------------------------------------------------------
+
+class TileBinning(NamedTuple):
+    indices: jnp.ndarray  # [T, K] Gaussian indices per tile (compositing order)
+    valid: jnp.ndarray  # [T, K] bool
+    overflow: jnp.ndarray  # [T] number of dropped Gaussians per tile
+
+
+def bin_gaussians(
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    tile_origins: jnp.ndarray,
+    tile_shape: Tuple[int, int],
+    capacity: int,
+) -> TileBinning:
+    """Assign Gaussians (in their compositing order) to pixel tiles.
+
+    center [N,2] (x,y), radius [N], valid [N]; tile_origins [T,2] (y0,x0).
+    Conservative circle/AABB overlap test (matching the CUDA rasterizer's
+    square-bbox binning).
+    """
+    th, tw = tile_shape
+    y0 = tile_origins[:, 0:1]  # [T,1]
+    x0 = tile_origins[:, 1:2]
+    gx = center[None, :, 0]
+    gy = center[None, :, 1]
+    r = radius[None, :]
+    intersects = (
+        valid[None, :]
+        & (gx + r >= x0)
+        & (gx - r < x0 + tw)
+        & (gy + r >= y0)
+        & (gy - r < y0 + th)
+    )  # [T, N]
+    # Stable argsort over "not intersecting" keeps the relative (depth/input)
+    # order of the intersecting Gaussians and moves them to the front.
+    order = jnp.argsort(~intersects, axis=1, stable=True)[:, :capacity]  # [T,K]
+    sel_valid = jnp.take_along_axis(intersects, order, axis=1)
+    count = intersects.sum(axis=1)
+    overflow = jnp.maximum(0, count - capacity)
+    return TileBinning(indices=order, valid=sel_valid, overflow=overflow)
+
+
+def _tile_grid(height: int, width: int, tile_shape: Tuple[int, int]):
+    th, tw = tile_shape
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    ys = jnp.arange(n_ty) * th
+    xs = jnp.arange(n_tx) * tw
+    origins = jnp.stack(
+        [jnp.repeat(ys, n_tx), jnp.tile(xs, n_ty)], axis=-1
+    )  # [T, 2] (y0, x0)
+    return origins, n_ty, n_tx
+
+
+def _composite_tiled(
+    feats,
+    colors: jnp.ndarray,
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    alpha_fn: Callable,
+    height: int,
+    width: int,
+    tile_shape: Tuple[int, int],
+    capacity: int,
+    chunk: int,
+    early_stop: bool,
+    pixel_offset: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tiled compositing. Returns rgb [H,W,3], alpha [H,W], overflow [T]."""
+    th, tw = tile_shape
+    origins, n_ty, n_tx = _tile_grid(height, width, tile_shape)
+    binning = bin_gaussians(center, radius, valid, origins, tile_shape, capacity)
+
+    # Per-tile gathered features.
+    def gather(x):
+        return x[binning.indices]  # [T, K, ...]
+
+    feats_t = jax.tree.map(gather, tuple(feats))
+    colors_t = gather(colors)
+
+    # Per-tile pixel coordinates.
+    dy = jnp.arange(th, dtype=colors.dtype) + pixel_offset
+    dx = jnp.arange(tw, dtype=colors.dtype) + pixel_offset
+    yy, xx = jnp.meshgrid(dy, dx, indexing="ij")  # [th, tw]
+    tile_ys = origins[:, 0:1] + yy.reshape(1, -1)  # [T, th*tw]
+    tile_xs = origins[:, 1:2] + xx.reshape(1, -1)
+
+    def per_tile(f, col, msk, txs, tys):
+        return composite_pixels(
+            txs, tys, f, col, msk, alpha_fn, chunk=chunk, early_stop=early_stop
+        )
+
+    rgb_t, alpha_t = jax.vmap(per_tile)(
+        feats_t, colors_t, binning.valid, tile_xs, tile_ys
+    )  # [T, th*tw, 3], [T, th*tw]
+
+    rgb = (
+        rgb_t.reshape(n_ty, n_tx, th, tw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(n_ty * th, n_tx * tw, 3)[:height, :width]
+    )
+    alpha = (
+        alpha_t.reshape(n_ty, n_tx, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_ty * th, n_tx * tw)[:height, :width]
+    )
+    return rgb, alpha, binning.overflow
+
+
+def _composite_global(
+    feats,
+    colors,
+    valid,
+    alpha_fn,
+    height,
+    width,
+    chunk,
+    early_stop,
+    pixel_offset,
+):
+    ys, xs = jnp.meshgrid(
+        jnp.arange(height, dtype=colors.dtype) + pixel_offset,
+        jnp.arange(width, dtype=colors.dtype) + pixel_offset,
+        indexing="ij",
+    )
+    rgb, alpha = composite_pixels(
+        xs.reshape(-1),
+        ys.reshape(-1),
+        tuple(feats),
+        colors,
+        valid,
+        alpha_fn,
+        chunk=chunk,
+        early_stop=early_stop,
+    )
+    return rgb.reshape(height, width, 3), alpha.reshape(height, width)
+
+
+# ----------------------------------------------------------------------------
+# Public API: 3D rasterization.
+# ----------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "near_plane",
+        "far_plane",
+        "radius_clip",
+        "tile_shape",
+        "tile_capacity",
+        "chunk",
+        "mode",
+    ),
+)
+def rasterize(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    viewmats: jnp.ndarray,
+    Ks: jnp.ndarray,
+    width: int,
+    height: int,
+    valid: Optional[jnp.ndarray] = None,
+    backgrounds: Optional[jnp.ndarray] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    tile_shape: Optional[Tuple[int, int]] = DEFAULT_TILE,
+    tile_capacity: Optional[int] = None,
+    chunk: int = 32,
+    mode: str = "tiled",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable 3D Gaussian splatting for a batch of cameras.
+
+    Args:
+        means/quats/scales/opacities/colors: [N,3],[N,4],[N,3],[N],[N,3]
+            world-space Gaussians (scales linear, opacities in [0,1]).
+        viewmats: [B,4,4]; Ks: [B,3,3].
+        valid: optional [N] bool — padded/inactive Gaussian mask.
+        backgrounds: optional [3] or [B,3] background color composited by
+            transmittance.
+        mode: "tiled" (binned, production) or "global" (no binning, exact
+            reference path used by tests).
+
+    Returns:
+        rgb [B,H,W,3], alpha [B,H,W].
+    """
+    N = means.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+    if tile_capacity is None:
+        tile_capacity = min(N, 4096)
+
+    def render_one(viewmat, K):
+        proj = project_gaussians(
+            means,
+            quats,
+            scales,
+            viewmat,
+            K,
+            width,
+            height,
+            near_plane=near_plane,
+            far_plane=far_plane,
+            radius_clip=radius_clip,
+        )
+        ok = proj.valid & valid
+        # Depth sort (invalid last).
+        keys = jnp.where(ok, proj.depth, jnp.inf)
+        order = jnp.argsort(keys)
+        mean2d = proj.mean2d[order]
+        conic = proj.conic[order]
+        opac = opacities[order]
+        cols = colors[order]
+        ok_s = ok[order]
+        rad = proj.radius[order]
+
+        feats = (mean2d, conic, opac)
+        if mode == "global":
+            rgb, alpha = _composite_global(
+                feats, cols, ok_s, _alpha_conic, height, width, chunk, True, 0.5
+            )
+        else:
+            rgb, alpha, _ = _composite_tiled(
+                feats,
+                cols,
+                mean2d,
+                rad,
+                ok_s,
+                _alpha_conic,
+                height,
+                width,
+                tile_shape,
+                tile_capacity,
+                chunk,
+                True,
+                0.5,
+            )
+        return rgb, alpha
+
+    rgb, alpha = jax.vmap(render_one)(viewmats, Ks)
+    if backgrounds is not None:
+        bg = jnp.broadcast_to(
+            jnp.asarray(backgrounds).reshape(-1, 1, 1, 3), rgb.shape
+        )
+        rgb = rgb + (1.0 - alpha[..., None]) * bg
+    return rgb, alpha
+
+
+# ----------------------------------------------------------------------------
+# Public API: 2D image-space rasterization.
+# ----------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "sigma_cutoff", "tile_shape",
+                     "tile_capacity", "chunk", "mode"),
+)
+def rasterize_2d(
+    means2d: jnp.ndarray,
+    scales2d: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    width: int,
+    height: int,
+    valid: Optional[jnp.ndarray] = None,
+    background: Optional[jnp.ndarray] = None,
+    sigma_cutoff: float = 3.0,
+    tile_shape: Optional[Tuple[int, int]] = DEFAULT_TILE,
+    tile_capacity: Optional[int] = None,
+    chunk: int = 32,
+    mode: str = "global",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2D Gaussian splatting in pixel space (reference 2D mode).
+
+    means2d [N,2] (u,v) pixels; scales2d [N,2] pixel sigmas (linear);
+    rotations [N] radians; opacities [N]; colors [N,3].
+
+    Composited in INPUT order with no clamp/skip/early-stop, exactly like
+    the reference's vectorized renderer (``gaussian_renderer.py:336-427``).
+    ``mode="global"`` evaluates every Gaussian on every pixel (bit-exact
+    parity); ``mode="tiled"`` bins by the ``sigma_cutoff`` bounding circle
+    (the reference's legacy bbox semantics) for production speed.
+
+    Returns rgb [H,W,3], alpha [H,W].
+    """
+    N = means2d.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+    if tile_capacity is None:
+        tile_capacity = min(N, 4096)
+
+    feats = (means2d, scales2d, rotations, opacities)
+    if mode == "global":
+        rgb, alpha = _composite_global(
+            feats, colors, valid, _alpha_ellipse, height, width, chunk, False, 0.0
+        )
+    else:
+        radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])
+        rgb, alpha, _ = _composite_tiled(
+            feats,
+            colors,
+            means2d,
+            radius,
+            valid,
+            _alpha_ellipse,
+            height,
+            width,
+            tile_shape,
+            tile_capacity,
+            chunk,
+            False,
+            0.0,
+        )
+    if background is not None:
+        rgb = rgb + (1.0 - alpha[..., None]) * background.reshape(1, 1, 3)
+    return rgb, alpha
