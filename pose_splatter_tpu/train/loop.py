@@ -1,0 +1,181 @@
+"""Jitted training/eval steps and checkpointing.
+
+The reference trains with batch size 1 (``train_script.py:107``) and torch
+BatchNorm in per-batch-stats mode. Here a *frame batch* axis is first-class:
+``make_train_step(batch_size=B)`` vmaps the forward over B frames — each
+frame normalizes with its own batch stats, exactly reproducing the
+reference's bs=1 semantics — then means losses/gradients. With a device
+mesh, the batch axis shards over devices and the psum falls out of
+``jit``-with-sharding (see ``pose_splatter_tpu.parallel``).
+
+Checkpoints hold {step, params, batch_stats, opt_state, loss history}
+mirroring the reference checkpoint dict (``train_script.py:418-433``),
+stored via Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pose_splatter_tpu.train.losses import total_loss
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, rng, tx: optax.GradientTransformation) -> TrainState:
+    variables = model.init(rng)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _forward_loss(model, params, batch_stats, batch, img_lambda, ssim_lambda, train):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rgb, alpha, new_vars = model.forward(
+        variables,
+        batch["mask"],
+        batch["img"],
+        batch["p_3d"],
+        batch["angle"],
+        batch["view_idx"],
+        train=train,
+        mutable=["batch_stats"] if train else None,
+    )
+    target_mask = batch["mask"][batch["obs_idx"]]
+    target_img = batch["img"][batch["obs_idx"]]
+    loss, metrics = total_loss(
+        rgb[0], alpha[0], target_img, target_mask, img_lambda, ssim_lambda
+    )
+    new_bs = new_vars["batch_stats"] if train else batch_stats
+    return loss, (metrics, new_bs)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    img_lambda: float,
+    ssim_lambda: float,
+    batch_size: int = 1,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]:
+    """Build a jitted train step.
+
+    Batch arrays carry a leading frame-batch axis of size ``batch_size``:
+        mask [B,C',H,W]; img [B,C',H,W,3]; p_3d [B,3]; angle [B];
+        view_idx [B] int32; obs_idx [B] int32 (position of view_idx within
+        the observed-view list, for target selection).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        def single(b):
+            return _forward_loss(
+                model, params, batch_stats, b, img_lambda, ssim_lambda, True
+            )
+
+        loss, (metrics, new_bs) = jax.vmap(single)(batch)
+        # Average running stats over the frame batch (each frame used its
+        # own per-sample stats in the forward, matching bs=1 reference).
+        new_bs = jax.tree.map(lambda x: x.mean(axis=0), new_bs)
+        return loss.mean(), (jax.tree.map(lambda x: x.mean(), metrics), new_bs)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, img_lambda: float, ssim_lambda: float):
+    """Jitted validation-loss step for one frame batch (no grads, running
+    BN stats; mirrors ``calculate_validation_loss`` train_script.py:39-73)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        def single(b):
+            loss, (metrics, _) = _forward_loss(
+                model,
+                state.params,
+                state.batch_stats,
+                b,
+                img_lambda,
+                ssim_lambda,
+                False,
+            )
+            return loss, metrics
+
+        loss, metrics = jax.vmap(single)(batch)
+        return loss.mean(), jax.tree.map(lambda x: x.mean(), metrics)
+
+    return eval_step
+
+
+# ----------------------------------------------------------------------------
+# Checkpointing (Orbax).
+# ----------------------------------------------------------------------------
+
+def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None):
+    """Save {step, params, batch_stats, opt_state} (+ history) to ``path``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    if extra:
+        payload["extra"] = extra
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
+    """Restore a checkpoint into the structure of ``state``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = ckptr.restore(path, target=template)
+    new_state = TrainState(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return new_state, restored.get("extra", {})
