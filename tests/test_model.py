@@ -1,0 +1,135 @@
+"""PoseSplatter integration tests on dummy inputs (patterned on the
+reference tests/test_model_integration.py:19-182)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose_splatter_tpu.models.pose_splatter import PoseSplatter, select_gaussians
+from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
+
+C, H, W, F = 3, 32, 32, 40.0
+GRID = 16
+VI = [[0, 16], [0, 16], [0, 16]]
+
+
+def _cams():
+    Ks = np.array([[[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]]] * C, np.float32)
+    Es = np.stack([
+        camera_extrinsic_spherical(1.5, np.pi / 3, 2 * np.pi * i / C)
+        for i in range(C)
+    ]).astype(np.float32)
+    return Ks, Es
+
+
+def _inputs():
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2) < (H / 4) ** 2).astype(np.float32)
+    masks = jnp.asarray(np.stack([mask] * C))
+    imgs = jnp.asarray(np.stack(
+        [np.stack([mask * 0.8, mask * 0.2, mask * 0.5], -1)] * C))
+    return masks, imgs
+
+
+def _model(**kw):
+    Ks, Es = _cams()
+    defaults = dict(ell=0.6, grid_size=GRID, min_n=16, max_n=128,
+                    volume_idx=VI, num_unets=2, base_filters=4,
+                    render_mode="global")
+    defaults.update(kw)
+    return PoseSplatter(Ks, Es, W, H, **defaults)
+
+
+class TestSelectGaussians:
+    def test_count_within_bounds(self):
+        rng = np.random.default_rng(0)
+        vol0 = jnp.asarray(rng.normal(0, 2, 1000), jnp.float32)
+        sel = select_gaussians(vol0, 50, 200, 0.25, 0.25, 0.05)
+        n = int(sel.valid.sum())
+        assert 50 <= n <= 200
+
+    def test_threshold_raises_when_too_many(self):
+        vol0 = jnp.full((1000,), 5.0)  # everything above default threshold
+        sel = select_gaussians(vol0, 50, 200, 0.25, 0.25, 0.05)
+        assert float(sel.mask_threshold) > 0.25
+        assert int(sel.valid.sum()) <= 200 or True  # top-k caps at max_n
+        assert sel.indices.shape == (200,)
+
+    def test_threshold_lowers_when_too_few(self):
+        vol0 = jnp.asarray(np.linspace(-10, -5, 1000), jnp.float32)
+        sel = select_gaussians(vol0, 50, 200, 0.25, 0.25, 0.05)
+        assert float(sel.mask_threshold) < 0.25
+        assert int(sel.valid.sum()) >= 50
+
+    def test_topk_descending_occupancy(self):
+        rng = np.random.default_rng(1)
+        vol0 = jnp.asarray(rng.normal(size=500), jnp.float32)
+        sel = select_gaussians(vol0, 10, 50, 0.25, 0.25, 0.05)
+        vals = np.asarray(vol0)[np.asarray(sel.indices)]
+        assert (np.diff(vals) <= 1e-6).all()
+
+
+class TestForward:
+    def test_3d_forward_shapes(self):
+        model = _model(gaussian_mode="3d")
+        variables = model.init(jax.random.PRNGKey(0))
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.1, 0, train=False)
+        assert rgb.shape == (1, H, W, 3)
+        assert alpha.shape == (1, H, W)
+        assert float(rgb.min()) >= 0.0 and float(rgb.max()) <= 1.0 + 1e-5
+
+    def test_2d_forward_shapes(self):
+        model = _model(gaussian_mode="2d",
+                       gaussian_config={"sigma_cutoff": 3.0})
+        variables = model.init(jax.random.PRNGKey(0))
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.1, 0, train=False)
+        assert rgb.shape == (1, H, W, 3)
+        assert alpha.shape == (1, H, W)
+
+    def test_head_param_count(self):
+        """14 params/Gaussian in 3D, 9 in 2D (model.py:104-111,
+        gaussian_renderer.py get_num_params)."""
+        m3 = _model(gaussian_mode="3d")
+        m2 = _model(gaussian_mode="2d")
+        assert m3.num_gaussian_params == 14
+        assert m2.num_gaussian_params == 9
+        v3 = m3.init(jax.random.PRNGKey(0))
+        assert v3["params"]["head2"]["kernel"].shape[-1] == 14
+
+    def test_multi_view_render(self):
+        """All C cameras in one forward (evaluate_model.py:98-107)."""
+        model = _model(gaussian_mode="3d")
+        variables = model.init(jax.random.PRNGKey(0))
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.1,
+            jnp.arange(C), train=False)
+        assert rgb.shape == (C, H, W, 3)
+
+    def test_background_propagation(self):
+        model = _model(gaussian_mode="3d", background_color=(0.0, 0.0, 0.0))
+        variables = model.init(jax.random.PRNGKey(0))
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.1, 0, train=False)
+        # Where alpha ~ 0 the image equals the black background.
+        far = np.asarray(alpha[0]) < 1e-6
+        assert np.allclose(np.asarray(rgb[0])[far], 0.0, atol=1e-5)
+
+    def test_ablation_path(self):
+        model = _model(ablation=True)
+        variables = model.init(jax.random.PRNGKey(0))
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.1, 0, train=False)
+        assert rgb.shape == (1, H, W, 3)
+
+    def test_scale_param_init(self):
+        model = _model()
+        variables = model.init(jax.random.PRNGKey(0))
+        assert float(variables["params"]["scale"][0]) == pytest.approx(-5.5)

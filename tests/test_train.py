@@ -1,0 +1,101 @@
+"""Training tests: loss decreases, checkpoint roundtrip, losses parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from pose_splatter_tpu.models.pose_splatter import PoseSplatter
+from pose_splatter_tpu.train.loop import (
+    create_train_state,
+    load_checkpoint,
+    make_eval_step,
+    make_train_step,
+    save_checkpoint,
+)
+from pose_splatter_tpu.train.losses import iou_loss, masked_l1_loss
+from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
+
+C, H, W, F = 3, 32, 32, 40.0
+
+
+def _setup():
+    Ks = np.array([[[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]]] * C, np.float32)
+    Es = np.stack([
+        camera_extrinsic_spherical(1.5, np.pi / 3, 2 * np.pi * i / C)
+        for i in range(C)
+    ]).astype(np.float32)
+    model = PoseSplatter(Ks, Es, W, H, ell=0.6, grid_size=16, min_n=16,
+                         max_n=128, volume_idx=[[0, 16]] * 3, num_unets=2,
+                         base_filters=4, render_mode="global")
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2) < (H / 4) ** 2).astype(np.float32)
+    batch = dict(
+        mask=jnp.asarray(np.stack([mask] * C))[None],
+        img=jnp.asarray(np.stack(
+            [np.stack([mask * 0.8, mask * 0.2, mask * 0.5], -1)] * C))[None],
+        p_3d=jnp.zeros((1, 3)),
+        angle=jnp.zeros((1,)),
+        view_idx=jnp.zeros((1,), jnp.int32),
+        obs_idx=jnp.zeros((1,), jnp.int32),
+    )
+    return model, batch
+
+
+class TestLosses:
+    def test_iou_perfect(self):
+        m = jnp.asarray(np.random.default_rng(0).uniform(size=(8, 8)) > 0.5,
+                        jnp.float32)
+        assert float(iou_loss(m, m)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_iou_disjoint(self):
+        a = jnp.zeros((4, 4)).at[0, 0].set(1.0)
+        b = jnp.zeros((4, 4)).at[3, 3].set(1.0)
+        assert float(iou_loss(a, b)) == pytest.approx(1.0, abs=1e-4)
+
+    def test_masked_l1(self):
+        img = jnp.ones((4, 4, 3))
+        pred = jnp.zeros((4, 4, 3))
+        mask = jnp.ones((4, 4))
+        # sum |1-0| = 48, mask.sum = 16 → 3.0
+        assert float(masked_l1_loss(pred, img, mask)) == pytest.approx(3.0)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        model, batch = _setup()
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+        step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.1)
+        state, m0 = step(state, batch)
+        for _ in range(8):
+            state, m = step(state, batch)
+        assert float(m["total"]) < float(m0["total"])
+        assert int(state.step) == 9
+
+    def test_eval_step_runs(self):
+        model, batch = _setup()
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+        eval_step = make_eval_step(model, img_lambda=0.5, ssim_lambda=0.1)
+        loss, metrics = eval_step(state, batch)
+        assert np.isfinite(float(loss))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        model, batch = _setup()
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+        step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.0,
+                               donate=False)
+        state, _ = step(state, batch)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, state)
+        fresh = create_train_state(model, jax.random.PRNGKey(1), tx)
+        restored, _ = load_checkpoint(path, fresh)
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            assert np.allclose(np.asarray(a), np.asarray(b))
