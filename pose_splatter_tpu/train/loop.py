@@ -142,7 +142,10 @@ def make_eval_step(model, img_lambda: float, ssim_lambda: float):
 # ----------------------------------------------------------------------------
 
 def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None):
-    """Save {step, params, batch_stats, opt_state} (+ history) to ``path``."""
+    """Save {step, params, batch_stats, opt_state} to ``path`` (Orbax) and
+    any JSON-serializable ``extra`` (loss history etc.) alongside it."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -153,14 +156,17 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[Dict] = None):
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    if extra:
-        payload["extra"] = extra
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if extra is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(extra, f)
 
 
 def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
     """Restore a checkpoint into the structure of ``state``."""
+    import json
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -178,4 +184,8 @@ def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, Dict]:
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
-    return new_state, restored.get("extra", {})
+    extra = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            extra = json.load(f)
+    return new_state, extra

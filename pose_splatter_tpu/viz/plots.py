@@ -1,0 +1,124 @@
+"""Training/diagnostic plots (matplotlib, host-side, all optional).
+
+Parity targets:
+- ``plot_predictions`` — GT-vs-prediction grids saved every ``plot_every``
+  epochs (``train_script.py:155-201``).
+- ``plot_losses``      — semilogy loss curves + validation scatter
+  (``train_script.py:204-236``).
+- ``plot_voxels``      — carving-parameter tuning views
+  (``scripts/visualization/plot_voxels.py``; matplotlib voxel plot of an
+  occupancy volume).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+LOSS_NAMES = ("iou", "ssim", "img")
+LOSS_COLORS = ["goldenrod", "deepskyblue", "lightcoral", "darkorchid",
+               "mediumseagreen"]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_predictions(model, variables, dataset, save_path: str = "temp.pdf",
+                     num_examples: int = 5, seed: int = 0) -> str:
+    """GT | prediction column pairs for a few frames."""
+    import jax.numpy as jnp
+
+    plt = _plt()
+    rng = np.random.default_rng(seed)
+    _, axarr = plt.subplots(ncols=2, nrows=num_examples,
+                            figsize=(4, 2 * num_examples))
+    for j in range(num_examples):
+        idx = int(rng.integers(len(dataset)))
+        view = int(dataset.observed_views[0])
+        mask, img, p_3d, angle, _ = dataset.get(idx, view_idx=view)
+        obs_pos = list(dataset.observed_views).index(view)
+        rgb, _, _ = model.forward(
+            variables, jnp.asarray(mask), jnp.asarray(img),
+            jnp.asarray(p_3d), jnp.float32(angle), view, train=False,
+        )
+        axarr[j, 0].imshow(img[obs_pos])
+        axarr[j, 0].axis("off")
+        axarr[j, 1].imshow(np.asarray(rgb[0]).clip(0, 1))
+        axarr[j, 1].axis("off")
+    axarr[0, 0].set_title("Ground Truth")
+    axarr[0, 1].set_title("Prediction")
+    plt.tight_layout()
+    plt.savefig(save_path)
+    plt.close("all")
+    return save_path
+
+
+def plot_losses(losses: Sequence[Sequence[float]],
+                validation_losses: Optional[Sequence[float]] = None,
+                valid_every: Optional[int] = None,
+                save_path: str = "loss.pdf") -> str:
+    """Semilogy per-component training curves + validation points."""
+    plt = _plt()
+    num_epochs = len(losses)
+    epochs = range(1, num_epochs + 1)
+    for i, name in enumerate(LOSS_NAMES):
+        plt.semilogy(epochs, [l[i] for l in losses], c=LOSS_COLORS[i],
+                     label=name)
+    plt.semilogy(epochs, [sum(l) for l in losses], c=LOSS_COLORS[-2],
+                 label="all")
+    if validation_losses and valid_every:
+        val_epochs = range(valid_every, num_epochs + 1, valid_every)
+        plt.plot(list(val_epochs)[: len(validation_losses)],
+                 validation_losses, marker="o", color=LOSS_COLORS[-1],
+                 label="val")
+    ax = plt.gca()
+    ax.minorticks_on()
+    ax.grid(which="both")
+    plt.legend(loc="best")
+    plt.ylabel("Loss")
+    plt.xlabel("Epoch")
+    plt.title("Training and Validation Losses")
+    plt.tight_layout()
+    plt.savefig(save_path)
+    plt.close("all")
+    return save_path
+
+
+def plot_voxels(volume: np.ndarray, save_path: str = "voxels.pdf",
+                threshold: float = 0.5) -> str:
+    """3-view matplotlib voxel plot of an occupancy volume [n1,n2,n3]."""
+    plt = _plt()
+    occ = volume > threshold
+    fig = plt.figure(figsize=(12, 4))
+    for i, (elev, azim) in enumerate([(20, 30), (20, 120), (80, 30)]):
+        ax = fig.add_subplot(1, 3, i + 1, projection="3d")
+        ax.voxels(occ, edgecolor=None)
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_axis_off()
+    plt.tight_layout()
+    plt.savefig(save_path)
+    plt.close("all")
+    return save_path
+
+
+def plot_gaussian_scatter(g: dict, save_path: str = "gaussians.pdf") -> str:
+    """3D scatter of exported Gaussians colored by their RGB
+    (visualize_gaussian.py contract)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    m = g["means"]
+    ax.scatter(m[:, 0], m[:, 1], m[:, 2], c=np.clip(g["colors"], 0, 1),
+               s=2.0, alpha=0.5)
+    ax.set_box_aspect([1, 1, 1])
+    plt.tight_layout()
+    plt.savefig(save_path)
+    plt.close("all")
+    return save_path
