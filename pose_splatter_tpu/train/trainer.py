@@ -59,6 +59,11 @@ def build_model(config: Config, ablation: bool = False,
         gaussian_mode=config.gaussian_mode,
         gaussian_config=config.gaussian_config,
         render_mode=render_mode,
+        # Framework extensions (reference hard-codes these, model.py:32-34).
+        min_n=config.get("min_n", 1024),
+        max_n=config.get("max_n", 16000),
+        num_unets=config.get("num_unets", 3),
+        base_filters=config.get("base_filters", 8),
     )
 
 
