@@ -46,10 +46,12 @@ def main():
         for a in (means, quats, scales, opac, colors, view, K)
     )
 
+    mode = "pallas" if jax.default_backend() == "tpu" else "tiled"
+
     def loss(means, quats, scales, opac, colors, view, K):
         rgb, alpha = rasterize(
             means, quats, scales, opac, colors, view, K, W, H,
-            backgrounds=jnp.ones(3), mode="tiled",
+            backgrounds=jnp.ones(3), mode=mode,
         )
         return (rgb**2).sum() + (alpha**2).sum()
 

@@ -49,8 +49,11 @@ ALPHA_CLAMP = 0.999
 ALPHA_SKIP = 1.0 / 255.0
 STOP_T = 1e-4
 
-# Default tile shape: VPU-aligned (sublane x lane) pixel block.
+# Default tile shapes: VPU-aligned (sublane x lane) pixel blocks. The
+# Pallas kernels use a smaller tile so the backward pass (chunk-boundary
+# transmittance scratch + temporaries) fits in VMEM.
 DEFAULT_TILE = (64, 128)
+DEFAULT_TILE_PALLAS = (32, 128)
 
 
 # ----------------------------------------------------------------------------
@@ -387,6 +390,61 @@ def _composite_tiled(
     return rgb, alpha, binning.overflow
 
 
+def _composite_tiled_pallas(
+    packed: jnp.ndarray,  # [N, 16] packed screen features (global)
+    center: jnp.ndarray,
+    radius: jnp.ndarray,
+    valid: jnp.ndarray,
+    mode: str,  # "conic" | "ellipse"
+    height: int,
+    width: int,
+    tile_shape: Tuple[int, int],
+    capacity: int,
+    chunk: int,
+    early_stop: bool,
+    pixel_offset: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas tiled compositing. Returns rgb [H, W, 3], alpha [H, W]."""
+    from pose_splatter_tpu.ops.rasterize_pallas import composite_tiles_pallas
+
+    th, tw = tile_shape
+    origins, n_ty, n_tx = _tile_grid(height, width, tile_shape)
+    binning = bin_gaussians(center, radius, valid, origins, tile_shape,
+                            capacity)
+    # Gather and pre-chunk to the kernel's [T, n_chunks, F, G] layout: the
+    # kernel indexes whole chunks on an untiled leading dim (lane-dim dynamic
+    # slices must be 128-aligned on TPU, and a [K, F] layout would lane-pad
+    # F 16→128 and waste 8x VMEM). Rows beyond the live prefix are masked by
+    # the per-tile count.
+    gathered = packed[binning.indices]  # [T, K, F16] (differentiable)
+    T_n, K, Fp = gathered.shape
+    pad = (-K) % chunk
+    if pad:
+        gathered = jnp.pad(gathered, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (K + pad) // chunk
+    packed_tiles = gathered.reshape(T_n, n_chunks, chunk, Fp).transpose(
+        0, 1, 3, 2
+    )  # [T, n_chunks, F, G]
+    counts = binning.valid.sum(axis=1).astype(jnp.int32)  # prefix lengths
+
+    rgb_t, alpha_t = composite_tiles_pallas(
+        packed_tiles, counts, origins.astype(jnp.int32), tile_shape, mode,
+        early_stop, pixel_offset, chunk=chunk,
+    )  # [T, 3, P], [T, P]
+
+    rgb = (
+        rgb_t.reshape(n_ty, n_tx, 3, th, tw)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(n_ty * th, n_tx * tw, 3)[:height, :width]
+    )
+    alpha = (
+        alpha_t.reshape(n_ty, n_tx, th, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_ty * th, n_tx * tw)[:height, :width]
+    )
+    return rgb, alpha
+
+
 def _composite_global(
     feats,
     colors,
@@ -449,7 +507,7 @@ def rasterize(
     near_plane: float = 0.01,
     far_plane: float = 1e10,
     radius_clip: float = 0.0,
-    tile_shape: Optional[Tuple[int, int]] = DEFAULT_TILE,
+    tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
     chunk: int = 32,
     mode: str = "tiled",
@@ -472,6 +530,8 @@ def rasterize(
     N = means.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
+    if tile_shape is None:
+        tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
 
@@ -503,6 +563,14 @@ def rasterize(
         if mode == "global":
             rgb, alpha = _composite_global(
                 feats, cols, ok_s, _alpha_conic, height, width, chunk, True, 0.5
+            )
+        elif mode == "pallas":
+            from pose_splatter_tpu.ops.rasterize_pallas import pack_conic
+
+            packed = pack_conic(mean2d, conic, opac, cols)
+            rgb, alpha = _composite_tiled_pallas(
+                packed, mean2d, rad, ok_s, "conic", height, width,
+                tile_shape, tile_capacity, chunk, True, 0.5,
             )
         else:
             rgb, alpha, _ = _composite_tiled(
@@ -551,7 +619,7 @@ def rasterize_2d(
     valid: Optional[jnp.ndarray] = None,
     background: Optional[jnp.ndarray] = None,
     sigma_cutoff: float = 3.0,
-    tile_shape: Optional[Tuple[int, int]] = DEFAULT_TILE,
+    tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
     chunk: int = 32,
     mode: str = "global",
@@ -572,6 +640,8 @@ def rasterize_2d(
     N = means2d.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
+    if tile_shape is None:
+        tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
 
@@ -579,6 +649,15 @@ def rasterize_2d(
     if mode == "global":
         rgb, alpha = _composite_global(
             feats, colors, valid, _alpha_ellipse, height, width, chunk, False, 0.0
+        )
+    elif mode == "pallas":
+        from pose_splatter_tpu.ops.rasterize_pallas import pack_ellipse
+
+        packed = pack_ellipse(means2d, scales2d, rotations, opacities, colors)
+        radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])
+        rgb, alpha = _composite_tiled_pallas(
+            packed, means2d, radius, valid, "ellipse", height, width,
+            tile_shape, tile_capacity, chunk, False, 0.0,
         )
     else:
         radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])

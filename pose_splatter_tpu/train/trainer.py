@@ -36,7 +36,13 @@ LOSS_NAMES = ("iou", "ssim", "img")
 
 
 def build_model(config: Config, ablation: bool = False,
-                render_mode: str = "tiled") -> PoseSplatter:
+                render_mode: Optional[str] = None) -> PoseSplatter:
+    if render_mode is None:
+        # Pallas kernels on real TPU; XLA tiled path elsewhere (CPU tests).
+        render_mode = config.get(
+            "render_mode",
+            "pallas" if jax.default_backend() == "tpu" else "tiled",
+        )
     intrinsic, extrinsic, Ps = get_cam_params(
         config.camera_fn,
         ds=config.image_downsample,
