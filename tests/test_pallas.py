@@ -46,13 +46,13 @@ class TestPallas3D:
         m, q, s, o, c = _gaussians(40, 1)
 
         def loss(mode, m, q, s, o, c):
-            with pltpu.force_tpu_interpret_mode():
-                rgb, al = rasterize(m, q, s, o, c, EYE, K1, W, H, mode=mode,
-                                    tile_shape=(8, 128), tile_capacity=64)
+            rgb, al = rasterize(m, q, s, o, c, EYE, K1, W, H, mode=mode,
+                                tile_shape=(8, 128), tile_capacity=64)
             return (rgb * jnp.arange(3)).sum() + (al**2).sum()
 
-        g1 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("tiled", m, q, s, o, c)
-        g2 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("pallas", m, q, s, o, c)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("tiled", m, q, s, o, c)
+            g2 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("pallas", m, q, s, o, c)
         for a, b in zip(g1, g2):
             scale = np.abs(np.asarray(a)).max() + 1e-6
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -92,14 +92,14 @@ class TestPallas2D:
                                    atol=1e-5)
 
         def loss(mode, m, s, r, o, col):
-            with pltpu.force_tpu_interpret_mode():
-                rr, al = rasterize_2d(m, s, r, o, col, W, H, mode=mode,
-                                      tile_shape=(8, 128), tile_capacity=64,
-                                      sigma_cutoff=30.0)
+            rr, al = rasterize_2d(m, s, r, o, col, W, H, mode=mode,
+                                  tile_shape=(8, 128), tile_capacity=64,
+                                  sigma_cutoff=30.0)
             return (rr * jnp.arange(3)).sum() + (al**2).sum()
 
-        g1 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("tiled", m2, s2, rot, op, c)
-        g2 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("pallas", m2, s2, rot, op, c)
+        with pltpu.force_tpu_interpret_mode():
+            g1 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("tiled", m2, s2, rot, op, c)
+            g2 = jax.grad(loss, argnums=(1, 2, 3, 4, 5))("pallas", m2, s2, rot, op, c)
         for a_, b_ in zip(g1, g2):
             scale = np.abs(np.asarray(a_)).max() + 1e-6
             np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
