@@ -174,7 +174,7 @@ class PoseSplatter:
         gaussian_config: Optional[Dict[str, Any]] = None,
         background_color: Sequence[float] = (1.0, 1.0, 1.0),
         render_mode: str = "tiled",
-        tile_shape: Tuple[int, int] = (64, 128),
+        tile_shape: Optional[Tuple[int, int]] = None,
         tile_capacity: Optional[int] = None,
     ):
         assert volume_idx is not None, "volume_idx is required"
