@@ -1,0 +1,177 @@
+"""End-to-end quality benchmark on a synthetic multi-view scene.
+
+Usage: python scripts/synthetic_benchmark.py [--steps 300] [--width 288]
+       [--height 256] [--grid 64] [--cameras 5] [--mode 3d] [--out report.json]
+
+Builds a textured-ellipsoid "animal" observed by C cameras (one held out),
+trains the full pipeline (carve → U-Nets → Gaussians → render → IoU/L1/SSIM
+loss) for N steps, and reports PSNR / SSIM / IoU on the HELD-OUT view —
+the novel-view-synthesis quality the reference benchmarks (BASELINE.md).
+No real dataset is required, so this runs anywhere (TPU or CPU) and gives a
+repeatable quality + speed figure.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pose_splatter_tpu.models.pose_splatter import PoseSplatter
+from pose_splatter_tpu.models.unet3d import init_unet_primary_skip
+from pose_splatter_tpu.ops.ssim import psnr, ssim
+from pose_splatter_tpu.train.loop import create_train_state, make_train_step
+from pose_splatter_tpu.train.losses import iou_loss
+from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
+
+
+def make_scene(C, H, W, T=16, seed=0):
+    """Textured ellipsoid with per-frame pose; returns cameras + frames."""
+    rng = np.random.default_rng(seed)
+    f = 1.7 * max(W, H)
+    Ks = np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]] * C, np.float32)
+    Es = np.stack([
+        camera_extrinsic_spherical(1.0, np.pi / 2.2 - 0.25 * (i % 2),
+                                   2 * np.pi * i / C)
+        for i in range(C)
+    ]).astype(np.float32)
+
+    # Ellipsoid point-sample renderer (independent oracle, not our splatter).
+    n_pts = 60000
+    u = rng.normal(size=(n_pts, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    radii = np.array([0.10, 0.05, 0.04])
+    pts0 = u * radii
+    # Procedural texture: stripes + polka dots.
+    tex = 0.5 + 0.4 * np.sin(60 * pts0[:, 0]) * np.cos(40 * pts0[:, 1])
+    colors0 = np.stack([
+        0.65 * tex + 0.2, 0.35 * tex + 0.15, 0.45 * (1 - tex) + 0.2
+    ], 1)
+
+    centers = 0.04 * rng.normal(size=(T, 3))
+    centers[:, 2] *= 0.3
+    angles = np.linspace(0, 2.2, T) + 0.1 * rng.normal(size=T)
+
+    frames = np.full((T, C, H, W, 3), 255, np.uint8)
+    for t in range(T):
+        c, s = np.cos(angles[t]), np.sin(angles[t])
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        pts = pts0 @ R.T + centers[t]
+        ph = np.concatenate([pts, np.ones((n_pts, 1))], 1)
+        for ci in range(C):
+            cam = (Es[ci] @ ph.T).T[:, :3]
+            pix = (Ks[ci] @ cam.T).T
+            z = pix[:, 2]
+            x = np.clip(np.round(pix[:, 0] / z), 0, W - 1).astype(int)
+            y = np.clip(np.round(pix[:, 1] / z), 0, H - 1).astype(int)
+            order = np.argsort(-z)  # far-to-near painter's algorithm
+            img = frames[t, ci]
+            img[y[order], x[order]] = np.clip(
+                colors0[order] * 255, 0, 255).astype(np.uint8)
+    return Ks, Es, frames, centers.astype(np.float32), angles.astype(np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--width", type=int, default=288)
+    parser.add_argument("--height", type=int, default=256)
+    parser.add_argument("--grid", type=int, default=64)
+    parser.add_argument("--cameras", type=int, default=5)
+    parser.add_argument("--mode", default="3d", choices=["2d", "3d"])
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--frames", type=int, default=16)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    C, H, W = args.cameras, args.height, args.width
+    holdout = C - 1
+    print(f"Building synthetic scene: {C} cameras ({holdout} held out), "
+          f"{W}x{H}, grid {args.grid}", file=sys.stderr)
+    Ks, Es, frames, centers, angles = make_scene(C, H, W, T=args.frames)
+
+    imgs = frames.astype(np.float32) / 255.0
+    masks = np.where(imgs[..., 0] == 1.0, 0.0, 1.0).astype(np.float32)
+    obs = [i for i in range(C) if i != holdout]
+
+    g = args.grid
+    model = PoseSplatter(
+        Ks, Es, W, H, ell=0.35, grid_size=g,
+        volume_idx=[[0, g], [0, g], [0, g]],
+        holdout_views=[holdout], gaussian_mode=args.mode,
+        render_mode="pallas" if jax.default_backend() == "tpu" else "tiled",
+        min_n=512, max_n=8192,
+    )
+    tx = optax.adam(args.lr)
+    state = create_train_state(model, jax.random.PRNGKey(0), tx)
+    state = state._replace(params=init_unet_primary_skip(state.params))
+    step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.1)
+
+    T = len(frames)
+    rng = np.random.default_rng(0)
+
+    def batch_for(t, view):
+        obs_pos = obs.index(view)
+        return dict(
+            mask=jnp.asarray(masks[t][obs])[None],
+            img=jnp.asarray(imgs[t][obs])[None],
+            p_3d=jnp.asarray(centers[t])[None],
+            angle=jnp.asarray(angles[t])[None],
+            view_idx=jnp.asarray([view], jnp.int32),
+            obs_idx=jnp.asarray([obs_pos], jnp.int32),
+        )
+
+    # Warm + train.
+    t_start = time.perf_counter()
+    metrics = {}
+    for i in range(args.steps):
+        t = int(rng.integers(T))
+        view = int(rng.choice(obs))
+        state, metrics = step(state, batch_for(t, view))
+        if (i + 1) % 50 == 0:
+            print(f"step {i + 1}: " +
+                  " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()),
+                  file=sys.stderr)
+    jax.block_until_ready(metrics)
+    train_time = time.perf_counter() - t_start
+
+    # Evaluate on the HELD-OUT view over all frames.
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    psnrs, ssims, ious = [], [], []
+    for t in range(T):
+        rgb, alpha, _ = model.forward(
+            variables, jnp.asarray(masks[t][obs]), jnp.asarray(imgs[t][obs]),
+            jnp.asarray(centers[t]), jnp.asarray(angles[t]),
+            holdout, train=False)
+        target = jnp.asarray(imgs[t][holdout])
+        tmask = jnp.asarray(masks[t][holdout])
+        psnrs.append(float(psnr(rgb[0], target)))
+        ssims.append(float(ssim(rgb[0], target)))
+        ious.append(1.0 - float(iou_loss(
+            jnp.where(alpha[0] > 0.5, 1.0, 0.0), tmask)))
+
+    report = {
+        "config": f"{W}x{H} grid{g} {args.mode} C{C}",
+        "steps": args.steps,
+        "train_time_s": round(train_time, 2),
+        "steps_per_s": round(args.steps / train_time, 2),
+        "holdout_psnr_db": round(float(np.mean(psnrs)), 2),
+        "holdout_ssim": round(float(np.mean(ssims)), 4),
+        "holdout_iou": round(float(np.mean(ious)), 4),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
