@@ -161,6 +161,40 @@ def calculate_image_metrics(
     return metrics
 
 
+def calculate_lpips_metric(
+    pred_fn: str,
+    gt_fn: str,
+    weights_path: str,
+    split: str = "test",
+    batch_size: int = 8,
+) -> Optional[np.ndarray]:
+    """Optional per-camera LPIPS over a split (reference keeps LPIPS
+    optional, ``scripts/training/evaluate_model.py:20-27``). Returns [C]
+    means or None if weights are unavailable."""
+    from pose_splatter_tpu.ops.lpips import create_lpips
+
+    lpips = create_lpips(weights_path)
+    if lpips is None:
+        return None
+    with h5py.File(pred_fn, "r") as pf, h5py.File(gt_fn, "r") as gf:
+        pred_images = pf["images"]
+        gt_images = gf["images"]
+        C = pred_images.shape[1]
+        a1, a2 = 0, len(gt_images) // 3
+        a3, a4 = 2 * a2, len(gt_images)
+        i1, i2 = {"train": (a1, a2), "valid": (a2, a3), "test": (a3, a4)}[split]
+        total = np.zeros(C)
+        for start in range(i1, i2, batch_size):
+            end = min(start + batch_size, i2)
+            gt = jnp.asarray(gt_images[start:end, ..., :3], jnp.float32) / 255.0
+            pred = jnp.asarray(pred_images[start:end, ..., :3], jnp.float32) / 255.0
+            b = end - start
+            vals = lpips(pred.reshape((-1,) + pred.shape[2:]),
+                         gt.reshape((-1,) + gt.shape[2:]))
+            total += np.asarray(vals.reshape(b, C).sum(axis=0))
+        return total / (i2 - i1)
+
+
 def write_evaluation_summary(metrics: Dict[str, np.ndarray], out_fn: str,
                              extra: Optional[Dict] = None) -> str:
     """Camera-averaged JSON summary (evaluation_metrics.json shape)."""

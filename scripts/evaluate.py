@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--ablation", action="store_true")
     parser.add_argument("--split", default="test",
                         choices=["train", "valid", "test"])
+    parser.add_argument("--lpips_weights", default=None,
+                        help="Path to LPIPS/AlexNet weights (optional)")
     args = parser.parse_args()
     config = Config(args.config)
 
@@ -58,6 +60,13 @@ def main():
                               f"metrics_{args.split}.csv")
     metrics = calculate_image_metrics(render_fn, gt_fn, metrics_fn,
                                       split=args.split)
+    if args.lpips_weights:
+        from pose_splatter_tpu.train.evaluate import calculate_lpips_metric
+
+        lpips = calculate_lpips_metric(render_fn, gt_fn, args.lpips_weights,
+                                       split=args.split)
+        if lpips is not None:
+            metrics["lpips"] = lpips
     summary_fn = os.path.join(config.project_directory,
                               "evaluation_metrics.json")
     write_evaluation_summary(metrics, summary_fn)

@@ -144,18 +144,23 @@ def main():
 
     # Evaluate on the HELD-OUT view over all frames.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def eval_frame(variables, mask, img, p_3d, angle, target, tmask):
+        rgb, alpha, _ = model.forward(
+            variables, mask, img, p_3d, angle, holdout, train=False)
+        iou = 1.0 - iou_loss(jnp.where(alpha[0] > 0.5, 1.0, 0.0), tmask)
+        return psnr(rgb[0], target), ssim(rgb[0], target), iou
+
     psnrs, ssims, ious = [], [], []
     for t in range(T):
-        rgb, alpha, _ = model.forward(
+        p, s, i = eval_frame(
             variables, jnp.asarray(masks[t][obs]), jnp.asarray(imgs[t][obs]),
             jnp.asarray(centers[t]), jnp.asarray(angles[t]),
-            holdout, train=False)
-        target = jnp.asarray(imgs[t][holdout])
-        tmask = jnp.asarray(masks[t][holdout])
-        psnrs.append(float(psnr(rgb[0], target)))
-        ssims.append(float(ssim(rgb[0], target)))
-        ious.append(1.0 - float(iou_loss(
-            jnp.where(alpha[0] > 0.5, 1.0, 0.0), tmask)))
+            jnp.asarray(imgs[t][holdout]), jnp.asarray(masks[t][holdout]))
+        psnrs.append(float(p))
+        ssims.append(float(s))
+        ious.append(float(i))
 
     report = {
         "config": f"{W}x{H} grid{g} {args.mode} C{C}",
