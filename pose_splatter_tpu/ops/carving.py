@@ -195,12 +195,22 @@ def carve_volume(
     mask_volume = get_volume(mask[..., None], K_mask, extrinsics, grid_t)  # [1,...]
     mask_flat = mask_volume.reshape(-1)  # [N]
 
+    # Threshold-independent work hoisted out of the two-threshold loop:
+    # projections and sampled colors depend only on geometry; only the
+    # visibility weights change with the occupied set.
+    imgH, imgW = rgb.shape[1], rgb.shape[2]
+    pix = project_points(pts, K_color, extrinsics, clamp_z=True)  # [C,N,2]
+    sampled = sample_nearest_pixels(rgb, pix)  # [C, N, 3]
+
     out = jnp.zeros((4, N), dtype=jnp.float32)
     for thresh in (1.0, (C - 1.0) / C):
         occupied = mask_flat >= thresh  # [N] bool
-        colors = compute_voxel_colors(
-            pts, occupied, rgb, K_color, extrinsics, nonvisible_weight
-        )  # [N, 3]
+        visible = ray_cast_visibility(
+            pts, occupied, K_color, extrinsics, imgH, imgW
+        )  # [C, N]
+        weights = jnp.where(visible, 1.0, nonvisible_weight)
+        weights = weights / jnp.clip(weights.sum(axis=0, keepdims=True), 1e-8)
+        colors = jnp.einsum("cn,cnk->nk", weights, sampled)  # [N, 3]
         occ_f = occupied.astype(jnp.float32)
         vol_rgb = jnp.where(occupied[:, None], colors, volume_fill_color)  # [N,3]
         volume = jnp.concatenate([occ_f[None, :], vol_rgb.T], axis=0)  # [4, N]
