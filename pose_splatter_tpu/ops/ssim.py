@@ -22,7 +22,12 @@ def _gaussian_kernel(kernel_size: int, sigma: float) -> jnp.ndarray:
 
 
 def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise VALID conv. img: [B, H, W, C]; kernel: [k, k]."""
+    """Depthwise VALID conv. img: [B, H, W, C]; kernel: [k, k].
+
+    Full f32 precision is forced: TPU convs default to bf16 MXU passes,
+    whose 8-bit mantissa destroys the E[x²]−μ² variance estimates (SSIM
+    values above 1 on near-constant regions).
+    """
     C = img.shape[-1]
     k = kernel[:, :, None, None]  # HWIO with I=1
     k = jnp.tile(k, (1, 1, 1, C))
@@ -33,6 +38,7 @@ def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
