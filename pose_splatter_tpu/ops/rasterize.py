@@ -136,7 +136,8 @@ def _forward_scan(xs, ys, feats_c, colors_c, valid_c, alpha_fn, early_stop):
             contrib = jnp.where(T * (1.0 - a) >= STOP_T, a * T, 0.0)
         else:
             contrib = a * T
-        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", contrib, col)
+        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", contrib, col,
+                                       precision=jax.lax.Precision.HIGHEST)
         alpha_acc = alpha_acc + contrib.sum(axis=0)
         T_out = T_in * incl[-1]
         return (T_out, rgb_acc, alpha_acc), T_in
@@ -202,14 +203,16 @@ def _make_compositor(alpha_fn: Callable, chunk: int, early_stop: bool):
             else:
                 keep = jnp.ones_like(a)
             contrib = a * T * keep
-            w = jnp.einsum("pd,cd->cp", g_rgb, col) + g_alpha[None, :]
+            w = jnp.einsum("pd,cd->cp", g_rgb, col,
+                           precision=jax.lax.Precision.HIGHEST) + g_alpha[None, :]
             wc = w * contrib  # [chunk, P]
             # Suffix within the chunk (Σ over j > i) + carry from later chunks.
             suffix = wc[::-1].cumsum(axis=0)[::-1] - wc  # exclusive reverse
             s_i = s[None, :] + suffix
             da = w * T * keep - s_i / (1.0 - a)
             df, dm = vjp_fn(da)
-            dcol = jnp.einsum("pd,cp->cd", g_rgb, contrib)
+            dcol = jnp.einsum("pd,cp->cd", g_rgb, contrib,
+                              precision=jax.lax.Precision.HIGHEST)
             new_s = s + wc.sum(axis=0)
             return new_s, (df, dcol, dm)
 
