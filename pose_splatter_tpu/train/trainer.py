@@ -151,17 +151,22 @@ def train_from_config(
 
     for _ in range(epochs):
         epoch += 1
-        sums = {k: 0.0 for k in LOSS_NAMES}
+        # Accumulate metrics on device; one host sync per epoch (a float()
+        # per step would serialize the async dispatch pipeline).
+        epoch_metrics = []
         n = 0
         for b_num, batch in enumerate(loader):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch)
-            for k in LOSS_NAMES:
-                sums[k] += float(metrics[k])
+            epoch_metrics.append(metrics)
             n += 1
             if max_batches and b_num + 1 >= max_batches:
                 break
-        avg = [sums[k] / max(n, 1) for k in LOSS_NAMES]
+        avg = [
+            float(np.mean([float(m[k]) for m in epoch_metrics]))
+            if epoch_metrics else 0.0
+            for k in LOSS_NAMES
+        ]
         losses.append(avg)
         if progress:
             print(f"epoch {epoch}: " +

@@ -117,16 +117,19 @@ def main():
     T = len(frames)
     rng = np.random.default_rng(0)
 
-    def batch_for(t, view):
-        obs_pos = obs.index(view)
-        return dict(
-            mask=jnp.asarray(masks[t][obs])[None],
-            img=jnp.asarray(imgs[t][obs])[None],
-            p_3d=jnp.asarray(centers[t])[None],
-            angle=jnp.asarray(angles[t])[None],
-            view_idx=jnp.asarray([view], jnp.int32),
-            obs_idx=jnp.asarray([obs_pos], jnp.int32),
-        )
+    # Pre-build every (frame, view) batch on device once — per-step H2D
+    # transfers through the device relay otherwise dominate the step time.
+    batches = {}
+    for t in range(T):
+        for view in obs:
+            batches[(t, view)] = dict(
+                mask=jnp.asarray(masks[t][obs])[None],
+                img=jnp.asarray(imgs[t][obs])[None],
+                p_3d=jnp.asarray(centers[t])[None],
+                angle=jnp.asarray(angles[t])[None],
+                view_idx=jnp.asarray([view], jnp.int32),
+                obs_idx=jnp.asarray([obs.index(view)], jnp.int32),
+            )
 
     # Warm + train.
     t_start = time.perf_counter()
@@ -134,7 +137,7 @@ def main():
     for i in range(args.steps):
         t = int(rng.integers(T))
         view = int(rng.choice(obs))
-        state, metrics = step(state, batch_for(t, view))
+        state, metrics = step(state, batches[(t, view)])
         if (i + 1) % 50 == 0:
             print(f"step {i + 1}: " +
                   " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()),
