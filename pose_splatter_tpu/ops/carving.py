@@ -153,6 +153,22 @@ def compute_voxel_colors(
     return jnp.einsum("cn,cnk->nk", weights, sampled)
 
 
+def shape_carve_volume(mask_volume, image_volume, C: int = 6, eps: float = 1e-2):
+    """Whiten image voxels outside the carved mask
+    (``shape_carving.py:90-95``)."""
+    mult = mask_volume > (C - 1.0) / C - eps
+    return jnp.where(jnp.broadcast_to(mult, image_volume.shape),
+                     1.0, image_volume)
+
+
+def shape_carve_mask(volume, C: int = 6, eps: float = 1e-2):
+    """Binarize the first three channels at the reference's three carve
+    thresholds (``shape_carving.py:98-110``)."""
+    th = jnp.array([(C - 1.0) / C - eps, 1.0 - eps, (C - 2.0) / C - eps])
+    binarized = (volume[:3] > th[:, None, None, None]).astype(volume.dtype)
+    return jnp.concatenate([binarized, volume[3:]], axis=0)
+
+
 @partial(jax.jit, static_argnames=("volume_fill_color", "nonvisible_weight"))
 def carve_volume(
     mask: jnp.ndarray,

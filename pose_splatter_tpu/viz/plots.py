@@ -108,6 +108,40 @@ def plot_voxels(volume: np.ndarray, save_path: str = "voxels.pdf",
     return save_path
 
 
+def splat_volume_preview(volume: np.ndarray, grid: np.ndarray,
+                         K: np.ndarray, E: np.ndarray,
+                         width: int, height: int,
+                         threshold: float = 0.5,
+                         log_scale: float = -7.0,
+                         save_path: str = "volume_preview.png") -> str:
+    """Render a carved volume's occupied voxels as fixed-scale Gaussians
+    through a real camera — the reference's gsplat-based carve-debug preview
+    (``src/plots.py:20-67``: scales=exp(-7), identity quats).
+
+    volume [4, n1, n2, n3]; grid [n1, n2, n3, 3]; K [3,3]; E [4,4].
+    """
+    import jax.numpy as jnp
+
+    from pose_splatter_tpu.ops.rasterize import rasterize
+
+    occ = volume[0].reshape(-1) > threshold
+    means = jnp.asarray(grid.reshape(-1, 3))
+    colors = jnp.asarray(volume[1:4].reshape(3, -1).T)
+    n = means.shape[0]
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    scales = jnp.full((n, 3), float(np.exp(log_scale)))
+    opac = jnp.full((n,), 0.95)
+    rgb, _ = rasterize(
+        means, quats, scales, opac, colors,
+        jnp.asarray(E, jnp.float32)[None], jnp.asarray(K, jnp.float32)[None],
+        width, height, valid=jnp.asarray(occ),
+        backgrounds=jnp.ones(3), mode="tiled",
+    )
+    plt = _plt()
+    plt.imsave(save_path, np.clip(np.asarray(rgb[0]), 0, 1))
+    return save_path
+
+
 def plot_gaussian_scatter(g: dict, save_path: str = "gaussians.pdf") -> str:
     """3D scatter of exported Gaussians colored by their RGB
     (visualize_gaussian.py contract)."""
