@@ -50,10 +50,14 @@ ALPHA_SKIP = 1.0 / 255.0
 STOP_T = 1e-4
 
 # Default tile shapes: VPU-aligned (sublane x lane) pixel blocks. The
-# Pallas kernels use a smaller tile so the backward pass (chunk-boundary
-# transmittance scratch + temporaries) fits in VMEM.
+# Pallas kernel prefers smaller tiles (finer empty-tile skipping, smaller
+# [chunk, pixels] temporaries) and a larger Gaussian chunk (fewer
+# dynamic-trip steps); both swept on real TPU at the 576x512/16k-Gaussian
+# bench shape (chunk 64 + 16x128 beat 32 + 32x128 by 1.25x).
 DEFAULT_TILE = (64, 128)
-DEFAULT_TILE_PALLAS = (32, 128)
+DEFAULT_TILE_PALLAS = (16, 128)
+DEFAULT_CHUNK = 32
+DEFAULT_CHUNK_PALLAS = 64
 
 
 # ----------------------------------------------------------------------------
@@ -394,7 +398,7 @@ def _composite_tiled(
 
 
 def _composite_tiled_pallas(
-    packed: jnp.ndarray,  # [N, 16] packed screen features (global)
+    packed: jnp.ndarray,  # [N, 16] packed screen features (global, sorted)
     center: jnp.ndarray,
     radius: jnp.ndarray,
     valid: jnp.ndarray,
@@ -407,32 +411,59 @@ def _composite_tiled_pallas(
     early_stop: bool,
     pixel_offset: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas tiled compositing. Returns rgb [H, W, 3], alpha [H, W]."""
+    """Pallas tiled compositing. Returns rgb [H, W, 3], alpha [H, W].
+
+    Binning is at CHUNK granularity: per tile we keep the (ordered) list of
+    Gaussian chunks containing at least one intersecting Gaussian; the exact
+    per-Gaussian circle/AABB test reruns in-kernel from the packed radius
+    column. This removes the [T, N] argsort (→ [T, N/G]) and the whole
+    [T, capacity, F] gather from the hot path.
+
+    Unlike the XLA tiled path there is NO capacity truncation: every live
+    chunk is kept (c_max = n_chunks) and the kernel's dynamic trip counts +
+    transmittance early-exit bound the actual work, exactly like gsplat's
+    untruncated per-tile lists (``tile_capacity`` is ignored here). Chunk
+    granularity must not truncate: the global depth order decorrelates from
+    screen position, so "first ceil(capacity/chunk) live chunks" can cover
+    far fewer intersecting Gaussians than the tiled path's per-tile
+    capacity — that mismatch was observed as ~0.9 max rgb error on sparse
+    tiles of the bench scene.
+    """
     from pose_splatter_tpu.ops.rasterize_pallas import composite_tiles_pallas
 
     th, tw = tile_shape
     origins, n_ty, n_tx = _tile_grid(height, width, tile_shape)
-    binning = bin_gaussians(center, radius, valid, origins, tile_shape,
-                            capacity)
-    # Gather and pre-chunk to the kernel's [T, n_chunks, F, G] layout: the
-    # kernel indexes whole chunks on an untiled leading dim (lane-dim dynamic
-    # slices must be 128-aligned on TPU, and a [K, F] layout would lane-pad
-    # F 16→128 and waste 8x VMEM). Rows beyond the live prefix are masked by
-    # the per-tile count.
-    gathered = packed[binning.indices]  # [T, K, F16] (differentiable)
-    T_n, K, Fp = gathered.shape
-    pad = (-K) % chunk
+    N = packed.shape[0]
+
+    # Zero-sanitize invalid rows: zero opacity + zero radius make them inert
+    # in both kernel passes (no NaNs can leak through masked lanes).
+    packed = jnp.where(valid[:, None], packed, 0.0)
+
+    # Chunk-level binning.
+    y0 = origins[:, 0:1].astype(packed.dtype)
+    x0 = origins[:, 1:2].astype(packed.dtype)
+    gx = center[None, :, 0]
+    gy = center[None, :, 1]
+    r = jnp.where(valid, radius, 0.0)[None, :]
+    intersects = (
+        valid[None, :]
+        & (gx + r >= x0) & (gx - r < x0 + tw)
+        & (gy + r >= y0) & (gy - r < y0 + th)
+    )  # [T, N]
+    pad = (-N) % chunk
+    n_chunks = (N + pad) // chunk
     if pad:
-        gathered = jnp.pad(gathered, ((0, 0), (0, pad), (0, 0)))
-    n_chunks = (K + pad) // chunk
-    packed_tiles = gathered.reshape(T_n, n_chunks, chunk, Fp).transpose(
-        0, 1, 3, 2
-    )  # [T, n_chunks, F, G]
-    counts = binning.valid.sum(axis=1).astype(jnp.int32)  # prefix lengths
+        intersects = jnp.pad(intersects, ((0, 0), (0, pad)))
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    chunk_any = intersects.reshape(-1, n_chunks, chunk).any(axis=2)  # [T, Nc]
+    chunk_list = jnp.argsort(~chunk_any, axis=1, stable=True)
+    nlive = chunk_any.sum(axis=1).astype(jnp.int32)
+
+    packed_chunks = packed.reshape(n_chunks, chunk, -1).transpose(0, 2, 1)
 
     rgb_t, alpha_t = composite_tiles_pallas(
-        packed_tiles, counts, origins.astype(jnp.int32), tile_shape, mode,
-        early_stop, pixel_offset, chunk=chunk,
+        packed_chunks, chunk_list, nlive, origins.astype(jnp.int32),
+        tile_shape, mode, early_stop, pixel_offset,
     )  # [T, 3, P], [T, P]
 
     rgb = (
@@ -512,7 +543,7 @@ def rasterize(
     radius_clip: float = 0.0,
     tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
-    chunk: int = 32,
+    chunk: Optional[int] = None,
     mode: str = "tiled",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable 3D Gaussian splatting for a batch of cameras.
@@ -533,8 +564,17 @@ def rasterize(
     N = means.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
+    if mode == "pallas":
+        from pose_splatter_tpu.ops.rasterize_pallas import fits_vmem
+
+        ts = tile_shape or DEFAULT_TILE_PALLAS
+        ck = chunk or DEFAULT_CHUNK_PALLAS
+        if not fits_vmem(N, ck, ts):  # working set must fit in VMEM
+            mode = "tiled"
     if tile_shape is None:
         tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
+    if chunk is None:
+        chunk = DEFAULT_CHUNK_PALLAS if mode == "pallas" else DEFAULT_CHUNK
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
 
@@ -570,7 +610,7 @@ def rasterize(
         elif mode == "pallas":
             from pose_splatter_tpu.ops.rasterize_pallas import pack_conic
 
-            packed = pack_conic(mean2d, conic, opac, cols)
+            packed = pack_conic(mean2d, conic, opac, cols, rad)
             rgb, alpha = _composite_tiled_pallas(
                 packed, mean2d, rad, ok_s, "conic", height, width,
                 tile_shape, tile_capacity, chunk, True, 0.5,
@@ -624,7 +664,7 @@ def rasterize_2d(
     sigma_cutoff: float = 3.0,
     tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
-    chunk: int = 32,
+    chunk: Optional[int] = None,
     mode: str = "global",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """2D Gaussian splatting in pixel space (reference 2D mode).
@@ -643,8 +683,17 @@ def rasterize_2d(
     N = means2d.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
+    if mode == "pallas":
+        from pose_splatter_tpu.ops.rasterize_pallas import fits_vmem
+
+        ts = tile_shape or DEFAULT_TILE_PALLAS
+        ck = chunk or DEFAULT_CHUNK_PALLAS
+        if not fits_vmem(N, ck, ts):  # working set must fit in VMEM
+            mode = "tiled"
     if tile_shape is None:
         tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
+    if chunk is None:
+        chunk = DEFAULT_CHUNK_PALLAS if mode == "pallas" else DEFAULT_CHUNK
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
 
@@ -656,8 +705,9 @@ def rasterize_2d(
     elif mode == "pallas":
         from pose_splatter_tpu.ops.rasterize_pallas import pack_ellipse
 
-        packed = pack_ellipse(means2d, scales2d, rotations, opacities, colors)
         radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])
+        packed = pack_ellipse(means2d, scales2d, rotations, opacities,
+                              colors, radius)
         rgb, alpha = _composite_tiled_pallas(
             packed, means2d, radius, valid, "ellipse", height, width,
             tile_shape, tile_capacity, chunk, False, 0.0,

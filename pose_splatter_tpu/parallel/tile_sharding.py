@@ -17,7 +17,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):  # new API: check_rep renamed to check_vma
+        kw["check_vma"] = kw.pop("check_rep", True)
+        return _shard_map(f, **kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from pose_splatter_tpu.ops.projection import project_gaussians
 from pose_splatter_tpu.ops.rasterize import (
