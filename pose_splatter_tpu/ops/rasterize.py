@@ -397,86 +397,84 @@ def _composite_tiled(
     return rgb, alpha, binning.overflow
 
 
-def _composite_tiled_pallas(
-    packed: jnp.ndarray,  # [N, 16] packed screen features (global, sorted)
-    center: jnp.ndarray,
-    radius: jnp.ndarray,
-    valid: jnp.ndarray,
+def _composite_instances_pallas(
+    packed: jnp.ndarray,  # [B, N, 16] packed features, compositing order
+    center: jnp.ndarray,  # [B, N, 2] screen centers
+    radius: jnp.ndarray,  # [B, N] binning radii
+    valid: jnp.ndarray,  # [B, N]
     mode: str,  # "conic" | "ellipse"
     height: int,
     width: int,
     tile_shape: Tuple[int, int],
-    capacity: int,
     chunk: int,
+    expand: int,
     early_stop: bool,
     pixel_offset: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas tiled compositing. Returns rgb [H, W, 3], alpha [H, W].
+    instance_cap: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Instance-binned Pallas compositing over a batch of cameras.
 
-    Binning is at CHUNK granularity: per tile we keep the (ordered) list of
-    Gaussian chunks containing at least one intersecting Gaussian; the exact
-    per-Gaussian circle/AABB test reruns in-kernel from the packed radius
-    column. This removes the [T, N] argsort (→ [T, N/G]) and the whole
-    [T, capacity, F] gather from the hot path.
-
-    Unlike the XLA tiled path there is NO capacity truncation: every live
-    chunk is kept (c_max = n_chunks) and the kernel's dynamic trip counts +
-    transmittance early-exit bound the actual work, exactly like gsplat's
-    untruncated per-tile lists (``tile_capacity`` is ignored here). Chunk
-    granularity must not truncate: the global depth order decorrelates from
-    screen position, so "first ceil(capacity/chunk) live chunks" can cover
-    far fewer intersecting Gaussians than the tiled path's per-tile
-    capacity — that mismatch was observed as ~0.9 max rgb error on sparse
-    tiles of the bench scene.
+    gsplat-style binning on the host/XLA side (one instance per
+    Gaussian×tile intersection, per-tile contiguous depth-ordered
+    segments, see ``rasterize_pallas._build_instances``), one kernel grid
+    over all B·T tiles. Returns rgb [B,H,W,3], alpha [B,H,W], and the
+    total instance overflow count: Gaussians spanning more than ``expand``
+    tiles are span-truncated, and instance rows past ``instance_cap``
+    (default 4·N + alignment padding) are dropped — both COUNTED, never
+    silent.
     """
-    from pose_splatter_tpu.ops.rasterize_pallas import composite_tiles_pallas
+    from pose_splatter_tpu.ops.rasterize_pallas import (
+        _build_instances,
+        composite_instances_pallas,
+        gather_instances,
+        instance_rows,
+    )
 
     th, tw = tile_shape
     origins, n_ty, n_tx = _tile_grid(height, width, tile_shape)
-    N = packed.shape[0]
+    T = n_ty * n_tx
+    B, N = packed.shape[:2]
+    if instance_cap is None:
+        instance_cap = 4 * N + T * chunk
+    mcap = instance_rows(N, T, expand, chunk, cap=instance_cap)
 
-    # Zero-sanitize invalid rows: zero opacity + zero radius make them inert
-    # in both kernel passes (no NaNs can leak through masked lanes).
-    packed = jnp.where(valid[:, None], packed, 0.0)
+    # Zero-sanitize invalid rows: zero opacity keeps them inert in both
+    # kernel passes even if binning radii still admit them.
+    packed = jnp.where(valid[..., None], packed, 0.0)
 
-    # Chunk-level binning.
-    y0 = origins[:, 0:1].astype(packed.dtype)
-    x0 = origins[:, 1:2].astype(packed.dtype)
-    gx = center[None, :, 0]
-    gy = center[None, :, 1]
-    r = jnp.where(valid, radius, 0.0)[None, :]
-    intersects = (
-        valid[None, :]
-        & (gx + r >= x0) & (gx - r < x0 + tw)
-        & (gy + r >= y0) & (gy - r < y0 + th)
-    )  # [T, N]
-    pad = (-N) % chunk
-    n_chunks = (N + pad) // chunk
-    if pad:
-        intersects = jnp.pad(intersects, ((0, 0), (0, pad)))
-        packed = jnp.pad(packed, ((0, pad), (0, 0)))
-    chunk_any = intersects.reshape(-1, n_chunks, chunk).any(axis=2)  # [T, Nc]
-    chunk_list = jnp.argsort(~chunk_any, axis=1, stable=True)
-    nlive = chunk_any.sum(axis=1).astype(jnp.int32)
+    def build(c, r, v):
+        return _build_instances(c, r, v, n_ty, n_tx, tile_shape, expand,
+                                chunk, mcap)
 
-    packed_chunks = packed.reshape(n_chunks, chunk, -1).transpose(0, 2, 1)
+    dest, src, astarts, counts, overflow = jax.vmap(build)(
+        center, radius, valid)
+    inst = jax.vmap(lambda p, d, s: gather_instances(p, d, s, mcap))(
+        packed, dest, src)  # [B, mcap, FS]
 
-    rgb_t, alpha_t = composite_tiles_pallas(
-        packed_chunks, chunk_list, nlive, origins.astype(jnp.int32),
-        tile_shape, mode, early_stop, pixel_offset,
-    )  # [T, 3, P], [T, P]
+    # Fold cameras into the tile grid: camera b's tiles are [b*T, (b+1)*T).
+    inst_flat = inst.reshape(B * mcap, inst.shape[-1])
+    astarts_flat = (
+        astarts + (jnp.arange(B, dtype=jnp.int32) * mcap)[:, None]
+    ).reshape(-1)
+    counts_flat = counts.reshape(-1)
+    origins_flat = jnp.tile(origins.astype(jnp.int32), (B, 1))
+
+    rgb_t, alpha_t = composite_instances_pallas(
+        inst_flat, astarts_flat, counts_flat, origins_flat,
+        tile_shape, chunk, mode, early_stop, pixel_offset,
+    )  # [B*T, 3, P], [B*T, P]
 
     rgb = (
-        rgb_t.reshape(n_ty, n_tx, 3, th, tw)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(n_ty * th, n_tx * tw, 3)[:height, :width]
+        rgb_t.reshape(B, n_ty, n_tx, 3, th, tw)
+        .transpose(0, 1, 4, 2, 5, 3)
+        .reshape(B, n_ty * th, n_tx * tw, 3)[:, :height, :width]
     )
     alpha = (
-        alpha_t.reshape(n_ty, n_tx, th, tw)
-        .transpose(0, 2, 1, 3)
-        .reshape(n_ty * th, n_tx * tw)[:height, :width]
+        alpha_t.reshape(B, n_ty, n_tx, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, n_ty * th, n_tx * tw)[:, :height, :width]
     )
-    return rgb, alpha
+    return rgb, alpha, overflow.sum()
 
 
 def _composite_global(
@@ -523,7 +521,9 @@ def _composite_global(
         "tile_shape",
         "tile_capacity",
         "chunk",
+        "tile_expand",
         "mode",
+        "return_overflow",
     ),
 )
 def rasterize(
@@ -544,8 +544,10 @@ def rasterize(
     tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
     chunk: Optional[int] = None,
+    tile_expand: Optional[int] = None,
     mode: str = "tiled",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_overflow: bool = False,
+):
     """Differentiable 3D Gaussian splatting for a batch of cameras.
 
     Args:
@@ -555,90 +557,127 @@ def rasterize(
         valid: optional [N] bool — padded/inactive Gaussian mask.
         backgrounds: optional [3] or [B,3] background color composited by
             transmittance.
-        mode: "tiled" (binned, production) or "global" (no binning, exact
-            reference path used by tests).
+        mode: "pallas" (instance-binned TPU kernels, production), "tiled"
+            (XLA binned) or "global" (no binning, exact reference path used
+            by tests).
+        tile_expand: pallas mode only — max tiles one Gaussian may span
+            (spans beyond it are truncated and counted in the overflow).
+        return_overflow: also return the scalar count of Gaussians dropped
+            by finite capacity (tiled: per-tile capacity overflow; pallas:
+            tile_expand overflow; global: always 0). Off by default for
+            API compatibility — training asserts it stays zero.
 
     Returns:
-        rgb [B,H,W,3], alpha [B,H,W].
+        rgb [B,H,W,3], alpha [B,H,W] (+ overflow [] if requested).
     """
     N = means.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
-    if mode == "pallas":
-        from pose_splatter_tpu.ops.rasterize_pallas import fits_vmem
-
-        ts = tile_shape or DEFAULT_TILE_PALLAS
-        ck = chunk or DEFAULT_CHUNK_PALLAS
-        if not fits_vmem(N, ck, ts):  # working set must fit in VMEM
-            mode = "tiled"
     if tile_shape is None:
         tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
     if chunk is None:
         chunk = DEFAULT_CHUNK_PALLAS if mode == "pallas" else DEFAULT_CHUNK
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
+    if tile_expand is None:
+        from pose_splatter_tpu.ops.rasterize_pallas import DEFAULT_EXPAND
 
-    def render_one(viewmat, K):
-        proj = project_gaussians(
-            means,
-            quats,
-            scales,
-            viewmat,
-            K,
-            width,
-            height,
-            near_plane=near_plane,
-            far_plane=far_plane,
-            radius_clip=radius_clip,
-        )
-        ok = proj.valid & valid
-        # Depth sort (invalid last).
+        tile_expand = DEFAULT_EXPAND
+
+    if mode == "pallas":
+        from pose_splatter_tpu.ops.rasterize_pallas import pack_conic
+
+        # All cameras in one kernel grid (camera folds into the tile axis).
+        proj = jax.vmap(
+            lambda v, k: project_gaussians(
+                means, quats, scales, v, k, width, height,
+                near_plane=near_plane, far_plane=far_plane,
+                radius_clip=radius_clip,
+            )
+        )(viewmats, Ks)
+        ok = proj.valid & valid[None, :]
         keys = jnp.where(ok, proj.depth, jnp.inf)
-        order = jnp.argsort(keys)
-        mean2d = proj.mean2d[order]
-        conic = proj.conic[order]
-        opac = opacities[order]
-        cols = colors[order]
-        ok_s = ok[order]
-        rad = proj.radius[order]
+        order = jnp.argsort(keys, axis=1)  # depth order per camera
 
-        feats = (mean2d, conic, opac)
-        if mode == "global":
-            rgb, alpha = _composite_global(
-                feats, cols, ok_s, _alpha_conic, height, width, chunk, True, 0.5
-            )
-        elif mode == "pallas":
-            from pose_splatter_tpu.ops.rasterize_pallas import pack_conic
+        def reorder(x):
+            idx = order.reshape(order.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, jnp.broadcast_to(
+                idx, order.shape + x.shape[2:]), axis=1)
 
-            packed = pack_conic(mean2d, conic, opac, cols, rad)
-            rgb, alpha = _composite_tiled_pallas(
-                packed, mean2d, rad, ok_s, "conic", height, width,
-                tile_shape, tile_capacity, chunk, True, 0.5,
-            )
-        else:
-            rgb, alpha, _ = _composite_tiled(
-                feats,
-                cols,
-                mean2d,
-                rad,
-                ok_s,
-                _alpha_conic,
-                height,
+        mean2d = reorder(proj.mean2d)
+        conic = reorder(proj.conic)
+        rad = reorder(proj.radius)
+        ok_s = reorder(ok)
+        opac = reorder(jnp.broadcast_to(opacities[None], (order.shape[0], N)))
+        cols = reorder(jnp.broadcast_to(colors[None], (order.shape[0], N, 3)))
+
+        packed = pack_conic(mean2d, conic, opac, cols, rad)
+        rgb, alpha, overflow = _composite_instances_pallas(
+            packed, mean2d, rad, ok_s, "conic", height, width,
+            tile_shape, chunk, tile_expand, True, 0.5,
+        )
+    else:
+
+        def render_one(viewmat, K):
+            proj = project_gaussians(
+                means,
+                quats,
+                scales,
+                viewmat,
+                K,
                 width,
-                tile_shape,
-                tile_capacity,
-                chunk,
-                True,
-                0.5,
+                height,
+                near_plane=near_plane,
+                far_plane=far_plane,
+                radius_clip=radius_clip,
             )
-        return rgb, alpha
+            ok = proj.valid & valid
+            # Depth sort (invalid last).
+            keys = jnp.where(ok, proj.depth, jnp.inf)
+            order = jnp.argsort(keys)
+            mean2d = proj.mean2d[order]
+            conic = proj.conic[order]
+            opac = opacities[order]
+            cols = colors[order]
+            ok_s = ok[order]
+            rad = proj.radius[order]
 
-    rgb, alpha = jax.vmap(render_one)(viewmats, Ks)
+            feats = (mean2d, conic, opac)
+            if mode == "global":
+                rgb, alpha = _composite_global(
+                    feats, cols, ok_s, _alpha_conic, height, width, chunk,
+                    True, 0.5
+                )
+                overflow = jnp.zeros((), jnp.int32)
+            else:
+                rgb, alpha, tile_overflow = _composite_tiled(
+                    feats,
+                    cols,
+                    mean2d,
+                    rad,
+                    ok_s,
+                    _alpha_conic,
+                    height,
+                    width,
+                    tile_shape,
+                    tile_capacity,
+                    chunk,
+                    True,
+                    0.5,
+                )
+                overflow = tile_overflow.sum()
+            return rgb, alpha, overflow
+
+        rgb, alpha, overflow = jax.vmap(render_one)(viewmats, Ks)
+        overflow = overflow.sum()
+
     if backgrounds is not None:
         bg = jnp.broadcast_to(
             jnp.asarray(backgrounds).reshape(-1, 1, 1, 3), rgb.shape
         )
         rgb = rgb + (1.0 - alpha[..., None]) * bg
+    if return_overflow:
+        return rgb, alpha, overflow
     return rgb, alpha
 
 
@@ -649,7 +688,8 @@ def rasterize(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "sigma_cutoff", "tile_shape",
-                     "tile_capacity", "chunk", "mode"),
+                     "tile_capacity", "chunk", "tile_expand", "mode",
+                     "return_overflow"),
 )
 def rasterize_2d(
     means2d: jnp.ndarray,
@@ -665,8 +705,10 @@ def rasterize_2d(
     tile_shape: Optional[Tuple[int, int]] = None,
     tile_capacity: Optional[int] = None,
     chunk: Optional[int] = None,
+    tile_expand: Optional[int] = None,
     mode: str = "global",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_overflow: bool = False,
+):
     """2D Gaussian splatting in pixel space (reference 2D mode).
 
     means2d [N,2] (u,v) pixels; scales2d [N,2] pixel sigmas (linear);
@@ -675,29 +717,29 @@ def rasterize_2d(
     Composited in INPUT order with no clamp/skip/early-stop, exactly like
     the reference's vectorized renderer (``gaussian_renderer.py:336-427``).
     ``mode="global"`` evaluates every Gaussian on every pixel (bit-exact
-    parity); ``mode="tiled"`` bins by the ``sigma_cutoff`` bounding circle
-    (the reference's legacy bbox semantics) for production speed.
+    parity); ``mode="tiled"``/``"pallas"`` bin by the ``sigma_cutoff``
+    bounding circle (the reference's legacy bbox semantics) for production
+    speed. ``return_overflow`` surfaces the truncation count (see
+    :func:`rasterize`).
 
-    Returns rgb [H,W,3], alpha [H,W].
+    Returns rgb [H,W,3], alpha [H,W] (+ overflow [] if requested).
     """
     N = means2d.shape[0]
     if valid is None:
         valid = jnp.ones((N,), dtype=bool)
-    if mode == "pallas":
-        from pose_splatter_tpu.ops.rasterize_pallas import fits_vmem
-
-        ts = tile_shape or DEFAULT_TILE_PALLAS
-        ck = chunk or DEFAULT_CHUNK_PALLAS
-        if not fits_vmem(N, ck, ts):  # working set must fit in VMEM
-            mode = "tiled"
     if tile_shape is None:
         tile_shape = DEFAULT_TILE_PALLAS if mode == "pallas" else DEFAULT_TILE
     if chunk is None:
         chunk = DEFAULT_CHUNK_PALLAS if mode == "pallas" else DEFAULT_CHUNK
     if tile_capacity is None:
         tile_capacity = min(N, 4096)
+    if tile_expand is None:
+        from pose_splatter_tpu.ops.rasterize_pallas import DEFAULT_EXPAND
+
+        tile_expand = DEFAULT_EXPAND
 
     feats = (means2d, scales2d, rotations, opacities)
+    overflow = jnp.zeros((), jnp.int32)
     if mode == "global":
         rgb, alpha = _composite_global(
             feats, colors, valid, _alpha_ellipse, height, width, chunk, False, 0.0
@@ -708,13 +750,15 @@ def rasterize_2d(
         radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])
         packed = pack_ellipse(means2d, scales2d, rotations, opacities,
                               colors, radius)
-        rgb, alpha = _composite_tiled_pallas(
-            packed, means2d, radius, valid, "ellipse", height, width,
-            tile_shape, tile_capacity, chunk, False, 0.0,
+        rgb, alpha, overflow = _composite_instances_pallas(
+            packed[None], means2d[None], radius[None], valid[None],
+            "ellipse", height, width, tile_shape, chunk, tile_expand,
+            False, 0.0,
         )
+        rgb, alpha = rgb[0], alpha[0]
     else:
         radius = sigma_cutoff * jnp.maximum(scales2d[:, 0], scales2d[:, 1])
-        rgb, alpha, _ = _composite_tiled(
+        rgb, alpha, tile_overflow = _composite_tiled(
             feats,
             colors,
             means2d,
@@ -729,6 +773,9 @@ def rasterize_2d(
             False,
             0.0,
         )
+        overflow = tile_overflow.sum()
     if background is not None:
         rgb = rgb + (1.0 - alpha[..., None]) * background.reshape(1, 1, 3)
+    if return_overflow:
+        return rgb, alpha, overflow
     return rgb, alpha

@@ -1,51 +1,63 @@
-"""Pallas TPU kernels for tiled Gaussian compositing.
+"""Pallas TPU kernels for tiled Gaussian compositing (v2: instance-binned).
 
-Why Pallas on top of the XLA scan path (``rasterize.py``):
+The round-1 design kept the globally depth-sorted Gaussian array VMEM-resident
+and walked *chunk lists* per tile. Its weakness: the global depth order
+decorrelates from screen position, so on dense scenes every tile's chunk list
+degenerates to ~all chunks (measured: 8152 live chunk-steps = 260k
+Gaussian-slots for a 16k-Gaussian bench scene whose true per-tile
+intersection count is only 46k). v2 is the gsplat binning design
+(``/root/reference`` outsources this to the gsplat CUDA rasterizer —
+`src/gaussian_renderer.py:196-208`) re-derived for TPU:
 
-1. **No per-tile gather.** The packed, depth-sorted Gaussian array is small
-   (N·16 floats — 1 MB at N=16k), so the WHOLE array is kept VMEM-resident
-   as a single block shared by every tile. Tiles address Gaussian chunks
-   through a scalar-prefetched per-tile *chunk list*; the per-Gaussian
-   tile-intersection test runs in-kernel (features carry the bin radius),
-   reproducing the XLA path's binning semantics exactly without ever
-   materializing [tiles, capacity, features] in HBM. Binning on the host
-   side reduces to a chunk-granularity argsort ([T, N/G] instead of
-   [T, N] — ~G× cheaper).
-2. **Per-tile dynamic trip counts + transmittance early-exit.** Each tile
-   walks only its live chunks (count via scalar prefetch), and in 3D mode
-   the walk BREAKS once every pixel's transmittance is below the 1e-4
-   stop threshold — later contributions are exactly zero (gsplat's
-   per-pixel stop, hoisted to the chunk level). Dense front-to-back tiles
-   typically run 1-3 chunks instead of capacity/G.
-3. **Single-pass backward from stored chunk boundaries.** When taking
-   gradients, the forward also emits each tile's chunk-boundary
-   transmittances ([live_chunks, pixels] — a small HBM round-trip) plus
-   the early-stop chunk index; the backward walks the live chunks once in
-   reverse using the exact stored boundaries, carrying the per-pixel
-   suffix sum. (Reconstructing T by division — gsplat's backward
-   identity — is NOT viable here: past a pixel's stop point T keeps
-   decaying and underflows f32 at production depths, and 0/Π(1-a)=0
-   silently kills the gradients of every earlier Gaussian on that pixel.)
-   Feature gradients accumulate into a VMEM-resident [N, 16] block across
-   all tiles (constant output index map).
+1. **Per-tile instance lists.** Each Gaussian is duplicated once per
+   intersecting tile (circle/AABB test, identical to the XLA path's
+   ``bin_gaussians``). Instances are laid out in one flat array, grouped by
+   tile and depth-ordered (2D mode: input-ordered) within each tile, each
+   tile's segment padded to the chunk size G so chunks never straddle tiles.
+   No sort is needed: Gaussians arrive pre-ordered, so an exclusive cumsum
+   of the [N, tiles] intersection one-hot gives each instance's slot
+   directly (`_build_instances`).
 
-The math is identical to the XLA path (same cumprod transmittance, same
-gsplat clamp/skip/early-stop semantics, same hand-derived backward; see
-``rasterize.py``) — tests assert both paths agree to float32 precision.
+2. **Manual double-buffered DMA chunk walk.** The kernel grid is one
+   program per tile. Each program walks only its own segment
+   (ceil(count/G) chunks), DMA-ing [G, F] feature chunks HBM→VMEM one
+   ahead of compute. In 3D mode the walk BREAKS once every pixel's
+   transmittance is below gsplat's 1e-4 stop threshold. Work is therefore
+   proportional to the *true* tile-intersection count, exactly like the
+   CUDA rasterizer — not to N or to a fixed capacity. There is no
+   VMEM-resident global array, hence no resident-size cap.
 
-Layouts: pixels are flattened per tile to a [1, P] lane vector (P = th*tw,
-a multiple of 128); Gaussian chunks are [G, P] blocks; features are packed
-[n_chunks, 16, G] (chunk-major so a chunk is one dynamic leading-dim slice).
+3. **Disjoint gradient writes.** Every instance belongs to exactly one
+   tile, so the backward writes each chunk's [G, F] feature gradients
+   straight to HBM — no cross-tile accumulation, no atomics, no races.
+   The caller reduces instance gradients back onto Gaussians with one
+   gather + scatter-add (the adjoint of the instance gather, handled by
+   XLA autodiff in ``rasterize.py``).
+
+4. **Two-sweep backward, no stored residuals.** The gradient of alpha i
+   needs the suffix sum S_i = sum_{k>i} w_k*contrib_k. Instead of storing
+   per-chunk entry transmittances (whose [1, P] row DMAs violate Mosaic's
+   8-sublane slice alignment) the backward walks each tile's chunks
+   FORWARD twice, recomputing transmittance exactly as the forward did
+   (bit-identical — no division, so none of gsplat's T-reconstruction
+   underflow past the stop point): sweep 1 accumulates the total
+   sum w*contrib, sweep 2 carries the inclusive prefix and emits
+   S_i = total - prefix_i. Only the early-stop chunk index crosses from
+   forward to backward.
+
+The math is identical to the XLA path (``rasterize.py``): same cumprod
+transmittance, same gsplat clamp/skip/early-stop semantics, same
+hand-derived backward. Tests assert both paths agree to float32 precision.
 
 Feature packing (conic / 3D mode):
     0: mean_x  1: mean_y  2: conic_a  3: conic_b  4: conic_c
-    6: opacity  7..9: rgb  10: bin radius (px)
+    6: opacity  7..9: rgb
 Ellipse / 2D mode:
     0: mean_x  1: mean_y  2: cos(theta)  3: sin(theta)  4: sx  5: sy
-    6: opacity  7..9: rgb  10: bin radius (px)
-Rows are zero-sanitized for invalid Gaussians (zero opacity/radius make
-them inert in both modes and in both passes). Gradient outputs use the
-same columns (radius slot always zero).
+    6: opacity  7..9: rgb
+Column 10 carries the binning radius on the *Gaussian* array (host side
+only); instance rows are zero-sanitized for padding (zero opacity rows are
+inert in both modes and both passes).
 """
 
 from __future__ import annotations
@@ -63,29 +75,201 @@ ALPHA_CLAMP = 0.999
 ALPHA_SKIP = 1.0 / 255.0
 STOP_T = 1e-4
 
-F = 16  # packed feature columns (lane-padded by Mosaic anyway)
+F = 16  # packed feature columns
+# HBM DMA slices must span full 128-lane tiles, so the chunked instance
+# array is stored at lane width FS (features in the first F columns).
+FS = 128
 
-# The packed array is VMEM-resident; cap its footprint (N * F * 4 bytes).
-MAX_RESIDENT_GAUSSIANS = 65536
-
-# Usable VMEM budget for the backward kernel's resident blocks (packed +
-# dfeats + the per-tile chunk-boundary block + chunk temporaries), with
-# headroom for Mosaic's own buffers. 16 MB/core is the hardware size.
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# Max tiles a single Gaussian may be duplicated into. Spans beyond this are
+# truncated and COUNTED (returned to the caller — no silent truncation).
+DEFAULT_EXPAND = 16
 
 
-def fits_vmem(n: int, chunk: int, tile_shape: Tuple[int, int]) -> bool:
-    """Whether the pallas path's VMEM-resident working set fits.
+# ----------------------------------------------------------------------------
+# Host-side (XLA) instance binning.
+# ----------------------------------------------------------------------------
 
-    packed [n_chunks, F, G] + dfeats (same) + tbounds block [c_max, P]
-    + ~12 [G, P] f32 chunk temporaries.
+_SCAN_BLOCK = 256
+
+
+def _excl_cumsum_mxu(oh):
+    """Exclusive cumsum of [N, T] f32 along axis 0 via blocked MXU matmuls.
+
+    A strictly-lower-triangular [B, B] matmul gives each block's exclusive
+    within-block prefix on the MXU; a tiny [nb, T] cumsum stitches blocks.
+    Exact for integer-valued inputs (counts ≤ N << 2^24). Orders of
+    magnitude faster than XLA's reduce-window cumsum at N ~ 10^4.
+    """
+    N, T = oh.shape
+    B = _SCAN_BLOCK
+    nb = -(-N // B)
+    ohp = jnp.pad(oh, ((0, nb * B - N), (0, 0))).reshape(nb, B, T)
+    lower = jnp.asarray(np.tril(np.ones((B, B), np.float32), -1))
+    within = jnp.matmul(lower, ohp)  # [nb, B, T] exclusive within block
+    bsums = ohp.sum(axis=1)  # [nb, T]
+    bexcl = jnp.cumsum(bsums, axis=0) - bsums
+    excl = (bexcl[:, None, :] + within).reshape(nb * B, T)[:N]
+    totals = bexcl[-1] + bsums[-1]
+    return excl, totals
+
+
+def _build_instances(center, radius, valid, n_ty, n_tx,
+                     tile_shape: Tuple[int, int], expand: int, G: int,
+                     mcap: int):
+    """Bin one camera's Gaussians into per-tile instance slots.
+
+    Gaussians must already be in compositing order (depth-sorted for 3D,
+    input order for 2D); instances inherit that order within each tile.
+
+    The instance array holds ``mcap`` rows (static, chosen by the caller
+    via :func:`instance_rows`). Two finite capacities are truncated and
+    COUNTED, never silent: Gaussians spanning more than ``expand`` tiles
+    (truncated tile spans), and segment rows past ``mcap`` (whole tiles'
+    tails dropped when the scene out-sizes the array).
+
+    Returns:
+        dest:     [N*expand] int32 — instance-array row per slot (out-of-
+                  range rows are dropped by the scatter).
+        src:      [N*expand] int32 — source Gaussian row.
+        astarts:  [T] int32 — each tile's first row (multiple of G).
+        counts:   [T] int32 — per-tile instance count (capacity-clamped).
+        overflow: [] int32 — total instances dropped by either cap.
     """
     th, tw = tile_shape
-    p = th * tw
-    n_chunks = -(-n // chunk)
-    resident = 2 * n_chunks * F * chunk + n_chunks * p + 12 * chunk * p
-    return n <= MAX_RESIDENT_GAUSSIANS and resident * 4 <= VMEM_BUDGET_BYTES
+    T = n_ty * n_tx
+    N = center.shape[0]
+    cx, cy = center[:, 0], center[:, 1]
+    r = jnp.where(valid, radius, 0.0)
+    overlap = (
+        valid
+        & (cx + r >= 0) & (cx - r < n_tx * tw)
+        & (cy + r >= 0) & (cy - r < n_ty * th)
+    )
+    x0t = jnp.clip(jnp.floor((cx - r) / tw), 0, n_tx - 1).astype(jnp.int32)
+    x1t = jnp.clip(jnp.floor((cx + r) / tw), 0, n_tx - 1).astype(jnp.int32)
+    y0t = jnp.clip(jnp.floor((cy - r) / th), 0, n_ty - 1).astype(jnp.int32)
+    y1t = jnp.clip(jnp.floor((cy + r) / th), 0, n_ty - 1).astype(jnp.int32)
+    # NaN/inf centers (culled projections) fail the overlap test; clamp the
+    # garbage spans they produce so the masked arithmetic below stays benign.
+    wspan = jnp.maximum(x1t - x0t + 1, 1)
+    hspan = jnp.maximum(y1t - y0t + 1, 1)
+    span = jnp.where(overlap, wspan * hspan, 0)  # [N]
+    span_c = jnp.minimum(span, expand)
+    overflow_span = (span - span_c).sum()
 
+    # Tile membership is a RECTANGLE per Gaussian: test each tile's (ty,tx)
+    # against the rect directly — [N, T] elementwise, no [N, E, T] blowup.
+    # The expand cap keeps only the first `expand` rect tiles in row-major
+    # order, mirroring the slot enumeration below.
+    tty = (jnp.arange(T, dtype=jnp.int32) // n_tx)[None, :]
+    ttx = (jnp.arange(T, dtype=jnp.int32) % n_tx)[None, :]
+    ry = tty - y0t[:, None]
+    rx = ttx - x0t[:, None]
+    in_rect = (
+        overlap[:, None]
+        & (ry >= 0) & (ry < hspan[:, None])
+        & (rx >= 0) & (rx < wspan[:, None])
+    )
+    e_rm = ry * wspan[:, None] + rx  # row-major slot index within the rect
+    oh = (in_rect & (e_rm < expand)).astype(jnp.float32)  # [N, T]
+
+    # Instance slot within its tile = # earlier Gaussians hitting the same
+    # tile: exclusive scan over the (pre-ordered) Gaussian axis.
+    excl_f, counts_f = _excl_cumsum_mxu(oh)
+    counts = counts_f.astype(jnp.int32)  # [T]
+    nsteps = -(-counts // G)
+    astarts = G * jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nsteps)]
+    )  # [T+1]; entry T = total aligned rows needed
+
+    # Capacity clamp: tiles whose aligned segment spills past mcap lose the
+    # spilled tail (counted). astarts stays in-range so kernel chunk ids
+    # never go out of bounds; clamped tiles have counts_c == 0.
+    avail = jnp.clip(mcap - astarts[:T], 0, None)
+    counts_c = jnp.minimum(counts, avail)
+    overflow_cap = (counts - counts_c).sum()
+    astarts_c = jnp.minimum(astarts[:T], max(mcap - G, 0))
+
+    # Slot enumeration, mirroring the onehot's row-major rect order.
+    e = jnp.arange(expand, dtype=jnp.int32)[None, :]  # [1, E]
+    ok = e < span_c[:, None]  # [N, E]
+    ty = y0t[:, None] + e // wspan[:, None]
+    tx = x0t[:, None] + e % wspan[:, None]
+    tile = jnp.where(ok, ty * n_tx + tx, 0)
+    within = jnp.take_along_axis(excl_f, tile, axis=1).astype(jnp.int32)
+    gid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], ok.shape)
+    # Dead slots get unique out-of-range rows (dropped by the scatter).
+    dest = jnp.where(ok, astarts[tile] + within, mcap + gid * expand + e)
+    src = jnp.where(ok, gid, 0)
+    return (dest.reshape(-1), src.reshape(-1), astarts_c,
+            counts_c, overflow_span + overflow_cap)
+
+
+def instance_rows(N: int, T: int, expand: int, G: int,
+                  cap: int | None = None) -> int:
+    """Static row count of the instance array: worst-case aligned segments
+    (every Gaussian in ``expand`` tiles + per-tile alignment padding),
+    optionally bounded by ``cap`` rows (overflow is counted, not silent)."""
+    worst = -(-(N * expand) // G) * G + T * G
+    if cap is None:
+        return worst
+    return min(worst, -(-cap // G) * G)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_instances(packed, dest, src, mcap):
+    """[N, F] packed Gaussians → [mcap, FS] lane-padded instance array.
+
+    Materializes the per-tile instance layout the kernels DMA from
+    (features in the first F columns, zeros beyond; padding rows all-zero).
+    ``dest[k]``/``src[k]`` map slot k to instance row / source Gaussian;
+    out-of-range ``dest`` rows are dropped.
+
+    A naive XLA row-scatter here costs ~1 s on TPU (scatters serialize);
+    instead the forward inverts the slot map with one sort + searchsorted
+    and GATHERS, and the hand-written VJP reduces instance gradients back
+    per-Gaussian with another gather (``dpacked[n] = Σ_e dinst[dest[n,e]]``)
+    — no scatter in either direction.
+    """
+    inv, _ = _invert_slots(dest, src, packed.shape[0], mcap)
+    padded = jnp.concatenate(
+        [packed, jnp.zeros((packed.shape[0], FS - packed.shape[1]),
+                           packed.dtype)], axis=1)
+    padded = jnp.concatenate(
+        [padded, jnp.zeros((1, FS), packed.dtype)], axis=0)
+    return padded[inv]
+
+
+def _invert_slots(dest, src, n, mcap):
+    """inv [mcap] int32 with inv[dest[k]] = src[k], else n (zero row)."""
+    ds, ss = jax.lax.sort_key_val(dest, src)
+    m = jnp.arange(mcap, dtype=dest.dtype)
+    j = jnp.searchsorted(ds, m)
+    jc = jnp.minimum(j, ds.shape[0] - 1)
+    hit = ds[jc] == m
+    inv = jnp.where(hit, ss[jc], n)
+    return inv, hit
+
+
+def _gather_instances_fwd(packed, dest, src, mcap):
+    return gather_instances(packed, dest, src, mcap), (dest, packed.shape)
+
+
+def _gather_instances_bwd(mcap, res, dinst):
+    dest, (n, f) = res
+    live = dest < mcap
+    rows = jnp.where(live, dest, 0)
+    dslots = jnp.where(live[:, None], dinst[rows, :f], 0.0)  # [N*E, F]
+    dpacked = dslots.reshape(n, -1, f).sum(axis=1)
+    return dpacked, None, None
+
+
+gather_instances.defvjp(_gather_instances_fwd, _gather_instances_bwd)
+
+
+# ----------------------------------------------------------------------------
+# In-kernel chunk math (shared fwd/bwd).
+# ----------------------------------------------------------------------------
 
 def _pixel_coords(origins_ref, t, tw, P, pixel_offset):
     """xs, ys [1, P] for tile t (origins [T, 2] = (y0, x0), prefetched)."""
@@ -97,20 +281,12 @@ def _pixel_coords(origins_ref, t, tw, P, pixel_offset):
     return xs, ys
 
 
-def _tile_mask(f, origins_ref, t, th, tw):
-    """[G, 1] circle/AABB intersection test — identical to the XLA
-    ``bin_gaussians`` test (sanitized rows have radius 0 → opacity 0)."""
-    y0 = origins_ref[t, 0].astype(jnp.float32)
-    x0 = origins_ref[t, 1].astype(jnp.float32)
-    gx = f[:, 0:1]
-    gy = f[:, 1:2]
-    r = f[:, 10:11]
-    return ((gx + r >= x0) & (gx - r < x0 + tw)
-            & (gy + r >= y0) & (gy - r < y0 + th))
+def _chunk_alpha(mode, f, xs, ys, rowmask):
+    """Alpha [G, P] for one instance chunk plus backward auxiliaries.
 
-
-def _chunk_alpha(mode, f, xs, ys, tilemask):
-    """Alpha [G, P] for one chunk plus backward-chain auxiliaries."""
+    ``rowmask`` [G, 1] masks the segment-padding rows of the tile's final
+    chunk (instances are exact — no in-kernel tile test is needed).
+    """
     mean_x = f[:, 0:1]
     mean_y = f[:, 1:2]
     dx = xs - mean_x  # [G, P]
@@ -125,7 +301,7 @@ def _chunk_alpha(mode, f, xs, ys, tilemask):
         e = jnp.exp(-sigma)
         raw = opacity * e
         a = jnp.minimum(ALPHA_CLAMP, raw)
-        live = (sigma >= 0) & (raw >= ALPHA_SKIP) & tilemask
+        live = (sigma >= 0) & (raw >= ALPHA_SKIP) & rowmask
         a = jnp.where(live, a, 0.0)
         flow = live & (raw < ALPHA_CLAMP)  # gradient passes the clamp here
         return a, (dx, dy, e, raw, flow)
@@ -139,8 +315,8 @@ def _chunk_alpha(mode, f, xs, ys, tilemask):
         sx2 = 2.0 * sx * sx + 1e-8
         sy2 = 2.0 * sy * sy + 1e-8
         e = jnp.exp(-(u * u / sx2 + v * v / sy2))
-        a = jnp.where(tilemask, opacity * e, 0.0)
-        return a, (dx, dy, u, v, e, sx2, sy2, tilemask)
+        a = jnp.where(rowmask, opacity * e, 0.0)
+        return a, (dx, dy, u, v, e, sx2, sy2, rowmask)
 
 
 def _cumprod0(x):
@@ -172,28 +348,49 @@ def _excl_cumprod_rows(x):
     return excl, cp
 
 
+def _rowmask(G, count, j):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+    return rows < (count - j * G)
+
+
 # ----------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel.
 # ----------------------------------------------------------------------------
 
-def _fwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
-                rgb_ref, alpha_ref, jstop_ref, tbounds_ref, acc_ref, t_ref,
-                *, mode, G, P, th, tw, early_stop, pixel_offset,
-                with_residuals):
+def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
+                rgb_ref, alpha_ref, jstop_ref,
+                buf_ref, acc_ref, t_ref, in_sem,
+                *, mode, G, P, th, tw, early_stop, pixel_offset):
     t = pl.program_id(0)
+    start = astarts_ref[t]
+    count = counts_ref[t]
+    n_steps = pl.cdiv(count, G)
+    cbase = start // G  # this tile's first flat chunk id (start is G-aligned)
     xs, ys = _pixel_coords(origins_ref, t, tw, P, pixel_offset)
 
     acc_ref[...] = jnp.zeros((4, P), jnp.float32)  # r, g, b, alpha
     t_ref[...] = jnp.ones((1, P), jnp.float32)
 
-    def chunk_body(j):
-        c = chunks_ref[t, j]
-        f = feats_ref[c, :, :].T  # [F, G] load -> [G, F]
-        tilemask = _tile_mask(f, origins_ref, t, th, tw)
-        a, _aux = _chunk_alpha(mode, f, xs, ys, tilemask)
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(
+            inst_ref.at[cbase + j], buf_ref.at[slot], in_sem.at[slot])
+
+    @pl.when(n_steps > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def body(carry):
+        j, _ = carry
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_steps)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+        f = buf_ref[slot]  # [G, F]
+        a, _aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
         T_in = t_ref[...]
-        if with_residuals:
-            tbounds_ref[0, j, :] = T_in[0, :]
         excl, cp = _excl_cumprod_rows(1.0 - a)
         T = T_in * excl  # [G, P]
         if early_stop:
@@ -207,69 +404,142 @@ def _fwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
         acc_ref[...] += jnp.concatenate([r, g, b, al], axis=0)
         T_out = T_in * cp[-1:]
         t_ref[...] = T_out
-        return T_out
+        if early_stop:
+            # Once every pixel's transmittance is below STOP_T all later
+            # contributions are exactly zero — break out of the walk.
+            alive = jnp.max(T_out) >= STOP_T
+        else:
+            alive = True
+        return j + 1, alive
 
-    n_steps = nlive_ref[t]
-    if early_stop:
-        # Once every pixel's transmittance is below STOP_T all later
-        # contributions are exactly zero (T only decreases and the forward
-        # masks on T*(1-a) >= STOP_T) — break out of the chunk walk. On
-        # front-to-back scenes this skips the vast majority of chunks.
-        def cond(c):
-            j, alive = c
-            return jnp.logical_and(j < n_steps, alive)
+    j_stop, _ = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < n_steps, c[1]),
+        body, (jnp.int32(0), True))
 
-        def wbody(c):
-            j, _ = c
-            T_out = chunk_body(j)
-            return j + 1, jnp.max(T_out) >= STOP_T
-
-        j_stop, _ = jax.lax.while_loop(cond, wbody, (jnp.int32(0), True))
-    else:
-        jax.lax.fori_loop(0, n_steps, lambda j, _: (chunk_body(j), 0)[1], 0)
-        j_stop = n_steps
+    # Drain: an input DMA for chunk j_stop is in flight iff we early-stopped.
+    @pl.when(j_stop < n_steps)
+    def _():
+        in_dma(jax.lax.rem(j_stop, 2), j_stop).wait()
 
     rgb_ref[0, :, :] = acc_ref[0:3, :]
     alpha_ref[0, :, :] = acc_ref[3:4, :]
-    # Residual for the single-pass backward: where the walk stopped.
-    jstop_ref[0, :, :] = jnp.full(jstop_ref.shape[1:], j_stop, jnp.int32)
+    jstop_ref[0, 0, :] = jnp.full((128,), j_stop, jnp.int32)
 
 
 # ----------------------------------------------------------------------------
-# Backward kernel
+# Backward kernel.
 # ----------------------------------------------------------------------------
 
-def _bwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
-                grgb_ref, galpha_ref, jstop_ref, tbounds_ref,
-                dfeats_ref, s_ref,
+def _bwd_kernel(astarts_ref, counts_ref, origins_ref, jstop_ref,
+                inst_ref, grgb_ref, galpha_ref,
+                dinst_ref,
+                buf_ref, gbuf_ref, tot_ref, t_ref,
+                in_sem, gw_sem,
                 *, mode, G, P, th, tw, early_stop, pixel_offset):
     t = pl.program_id(0)
+    start = astarts_ref[t]
+    count = counts_ref[t]
+    j_stop = jstop_ref[t]
+    n_steps = pl.cdiv(count, G)
+    cbase = start // G
     xs, ys = _pixel_coords(origins_ref, t, tw, P, pixel_offset)
 
-    # Gradients accumulate across ALL tiles into the VMEM-resident block
-    # (constant output index map → the block is only flushed at the end).
-    @pl.when(t == 0)
-    def _():
-        dfeats_ref[...] = jnp.zeros(dfeats_ref.shape, dfeats_ref.dtype)
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(
+            inst_ref.at[cbase + j], buf_ref.at[slot], in_sem.at[slot])
 
-    # Single reverse pass over the chunks the forward actually walked,
-    # reading the exact chunk-start transmittances it stored.
-    n_live = jstop_ref[0, 0, 0]
-    s_ref[...] = jnp.zeros((1, P), jnp.float32)
+    def gw_dma(slot, j):
+        return pltpu.make_async_copy(
+            gbuf_ref.at[slot], dinst_ref.at[cbase + j], gw_sem.at[slot])
+
+    # Phase 1: chunks the forward never walked get zero gradients (their
+    # rows must still be initialized — the caller's adjoint gather reads
+    # every instance row). Both staging slots hold zeros, so concurrent
+    # writes from the same slot are safe; only semaphore reuse is gated.
+    gbuf_ref[...] = jnp.zeros(gbuf_ref.shape, jnp.float32)
+    n_zero = n_steps - j_stop
+
+    def zbody(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k >= 2)
+        def _():
+            gw_dma(slot, j_stop + k - 2).wait()
+
+        gw_dma(slot, j_stop + k).start()
+        return 0
+
+    jax.lax.fori_loop(0, n_zero, zbody, 0)
+
+    @pl.when(n_zero >= 1)
+    def _():
+        gw_dma(jax.lax.rem(n_zero - 1, 2), j_stop + n_zero - 1).wait()
+
+    @pl.when(n_zero >= 2)
+    def _():
+        gw_dma(jax.lax.rem(n_zero, 2), j_stop + n_zero - 2).wait()
+
     g_r = grgb_ref[0, 0:1, :]
     g_g = grgb_ref[0, 1:2, :]
     g_b = grgb_ref[0, 2:3, :]
     g_a = galpha_ref[0, 0:1, :]
 
-    def body_b(k, _):
-        j = n_live - 1 - k
-        c = chunks_ref[t, j]
-        f = feats_ref[c, :, :].T  # [G, F]
-        tilemask = _tile_mask(f, origins_ref, t, th, tw)
-        a, aux = _chunk_alpha(mode, f, xs, ys, tilemask)
+    # Sweep 1: forward walk recomputing transmittance (bit-identical to
+    # the forward kernel) and accumulating  total = Σ_i w_i·contrib_i.
+    tot_ref[...] = jnp.zeros((1, P), jnp.float32)
+    t_ref[...] = jnp.ones((1, P), jnp.float32)
+
+    @pl.when(j_stop > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def sweep1(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < j_stop)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+        f = buf_ref[slot]  # [G, F]
+        a, _aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
         excl, cp = _excl_cumprod_rows(1.0 - a)
-        T_start = tbounds_ref[0, j, :][None, :]  # [1, P]
-        T = T_start * excl
+        T = t_ref[...] * excl
+        if early_stop:
+            keep = (T * (1.0 - a) >= STOP_T).astype(jnp.float32)
+        else:
+            keep = jnp.ones_like(a)
+        contrib = a * T * keep
+        w = (g_r * f[:, 7:8] + g_g * f[:, 8:9] + g_b * f[:, 9:10] + g_a)
+        tot_ref[...] += jnp.sum(w * contrib, axis=0, keepdims=True)
+        t_ref[...] *= cp[-1:]
+        return 0
+
+    jax.lax.fori_loop(0, j_stop, sweep1, 0)
+
+    # Sweep 2: forward walk again carrying the inclusive prefix; the
+    # strictly-later suffix for instance i is  S_i = total - prefix_i.
+    total = tot_ref[...]
+    t_ref[...] = jnp.ones((1, P), jnp.float32)
+    pfx = jnp.zeros((1, P), jnp.float32)
+
+    @pl.when(j_stop > 0)
+    def _():
+        in_dma(0, 0).start()
+
+    def sweep2(j, pfx):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < j_stop)
+        def _():
+            in_dma(1 - slot, j + 1).start()
+
+        in_dma(slot, j).wait()
+        f = buf_ref[slot]  # [G, F]
+        a, aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
+        excl, cp = _excl_cumprod_rows(1.0 - a)
+        T_in = t_ref[...]
+        T = T_in * excl
         if early_stop:
             keep = (T * (1.0 - a) >= STOP_T).astype(jnp.float32)
         else:
@@ -277,13 +547,10 @@ def _bwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
         contrib = a * T * keep
         w = (g_r * f[:, 7:8] + g_g * f[:, 8:9] + g_b * f[:, 9:10] + g_a)
         wc = w * contrib  # [G, P]
-        # Exclusive suffix within the chunk + carry from later chunks.
-        csum = _cumsum0(wc)
-        suffix = csum[-1:] - csum  # Σ_{j > i in chunk}
-        s_i = s_ref[...] + suffix
+        incl = pfx + _cumsum0(wc)  # inclusive prefix through instance i
+        s_i = total - incl  # Σ_{k > i} w_k·contrib_k
         da = w * T * keep - s_i / (1.0 - a)
 
-        # Chain into feature gradients (reduce over pixels → [G, 1]).
         dcol_r = jnp.sum(g_r * contrib, axis=1, keepdims=True)
         dcol_g = jnp.sum(g_g * contrib, axis=1, keepdims=True)
         dcol_b = jnp.sum(g_b * contrib, axis=1, keepdims=True)
@@ -305,15 +572,14 @@ def _bwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
             grads = jnp.concatenate(
                 [dmx, dmy, dA, dB, dC, jnp.zeros_like(dop), dop,
                  dcol_r, dcol_g, dcol_b,
-                 jnp.zeros((da.shape[0], F - 10), jnp.float32)], axis=1)
+                 jnp.zeros((G, FS - 10), jnp.float32)], axis=1)
         else:
-            dx, dy, u, v, e, sx2, sy2, tilemask_ = aux
+            dx, dy, u, v, e, sx2, sy2, rowmask_ = aux
             opacity = f[:, 6:7]
-            msk = tilemask_.astype(jnp.float32)
+            msk = rowmask_.astype(jnp.float32)
             da_m = da * msk
             dop = jnp.sum(e * da_m, axis=1, keepdims=True)
             dE = opacity * da_m  # d a / d e
-            # e = exp(-(u²/sx2 + v²/sy2))
             de_du = e * (-2.0 * u / sx2)
             de_dv = e * (-2.0 * v / sy2)
             du = dE * de_du
@@ -326,7 +592,6 @@ def _bwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
             dsin = jnp.sum(du * dy - dv * dx, axis=1, keepdims=True)
             dmx = jnp.sum(-(du * c_ - dv * s), axis=1, keepdims=True)
             dmy = jnp.sum(-(du * s + dv * c_), axis=1, keepdims=True)
-            # d e / d sx2 = e * u² / sx2²;  d sx2/d sx = 4 sx
             dsx = jnp.sum(dE * e * (u * u / (sx2 * sx2)), axis=1,
                           keepdims=True) * 4.0 * sx
             dsy = jnp.sum(dE * e * (v * v / (sy2 * sy2)), axis=1,
@@ -334,135 +599,147 @@ def _bwd_kernel(chunks_ref, nlive_ref, origins_ref, feats_ref,
             grads = jnp.concatenate(
                 [dmx, dmy, dcos, dsin, dsx, dsy, dop,
                  dcol_r, dcol_g, dcol_b,
-                 jnp.zeros((da.shape[0], F - 10), jnp.float32)], axis=1)
+                 jnp.zeros((G, FS - 10), jnp.float32)], axis=1)
 
-        dfeats_ref[c, :, :] += grads.T
-        s_ref[...] += csum[-1:]
-        return 0
+        # Stage + write this chunk's gradients (rows are this tile's own).
+        @pl.when(j >= 2)
+        def _():
+            gw_dma(slot, j - 2).wait()
 
-    jax.lax.fori_loop(0, n_live, body_b, 0)
+        gbuf_ref[slot] = grads
+        gw_dma(slot, j).start()
+        t_ref[...] = T_in * cp[-1:]
+        return incl[-1:]
 
+    jax.lax.fori_loop(0, j_stop, sweep2, pfx)
+
+    @pl.when(j_stop >= 1)
+    def _():
+        gw_dma(jax.lax.rem(j_stop - 1, 2), j_stop - 1).wait()
+
+    @pl.when(j_stop >= 2)
+    def _():
+        gw_dma(jax.lax.rem(j_stop, 2), j_stop - 2).wait()
 
 # ----------------------------------------------------------------------------
-# pallas_call wrappers + custom VJP
+# pallas_call wrappers + custom VJP.
 # ----------------------------------------------------------------------------
 
-def _forward_call(packed, chunks, nlive, origins, *, mode, tile_shape,
-                  early_stop, pixel_offset, with_residuals):
-    """Returns (rgb [T,3,P], alpha [T,P], jstop [T,1,128],
-    tbounds [T,C_max,P] — garbage [T,1,128] when not with_residuals)."""
-    n_chunks, _, G = packed.shape
+def _forward_call(inst, astarts, counts, origins, *, mode, tile_shape,
+                  early_stop, pixel_offset, G):
+    """Returns (rgb [T,3,P], alpha [T,P], jstop [T]).
+
+    ``inst`` is [n_chunks, G, FS] (chunked so HBM DMA slices stay tile-
+    aligned).
+    """
     T_tiles = origins.shape[0]
-    C_max = chunks.shape[1]
     th, tw = tile_shape
     P = th * tw
-    tb_shape = (C_max, P) if with_residuals else (1, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T_tiles,),
-        in_specs=[
-            pl.BlockSpec((n_chunks, F, G), lambda t, cl, nl, o: (0, 0, 0)),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, P), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1,) + tb_shape, lambda t, cl, nl, o: (t, 0, 0)),
+            pl.BlockSpec((1, 3, P), lambda t, a, c, o: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, a, c, o: (t, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda t, a, c, o: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, P), jnp.float32),
-            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((2, G, FS), jnp.float32),  # instance chunk buffers
+            pltpu.VMEM((4, P), jnp.float32),      # rgb+alpha accumulator
+            pltpu.VMEM((1, P), jnp.float32),      # transmittance state
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _fwd_kernel, mode=mode, G=G, P=P, th=th, tw=tw,
         early_stop=early_stop, pixel_offset=pixel_offset,
-        with_residuals=with_residuals,
     )
-    rgb, alpha, jstop, tbounds = pl.pallas_call(
+    rgb, alpha, jstop = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, 3, P), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, 128), jnp.int32),
-            jax.ShapeDtypeStruct((T_tiles,) + tb_shape, jnp.float32),
         ],
-    )(chunks, nlive, origins, packed)
-    return rgb, alpha[:, 0, :], jstop, tbounds
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(astarts, counts, origins, inst)
+    return rgb, alpha[:, 0, :], jstop[:, 0, 0]
 
 
-def _backward_call(packed, chunks, nlive, origins, jstop, tbounds,
+def _backward_call(inst, astarts, counts, origins, jstop,
                    g_rgb, g_alpha, *, mode, tile_shape, early_stop,
-                   pixel_offset):
-    n_chunks, _, G = packed.shape
+                   pixel_offset, G):
+    n_chunks = inst.shape[0]
     T_tiles = origins.shape[0]
-    C_max = chunks.shape[1]
     th, tw = tile_shape
     P = th * tw
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(T_tiles,),
         in_specs=[
-            pl.BlockSpec((n_chunks, F, G), lambda t, cl, nl, o: (0, 0, 0)),
-            pl.BlockSpec((1, 3, P), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda t, cl, nl, o: (t, 0, 0)),
-            pl.BlockSpec((1, C_max, P), lambda t, cl, nl, o: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # inst
+            pl.BlockSpec((1, 3, P), lambda t, a, c, o, j: (t, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda t, a, c, o, j: (t, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((n_chunks, F, G), lambda t, cl, nl, o: (0, 0, 0)),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((1, P), jnp.float32),  # suffix carry
+            pltpu.VMEM((2, G, FS), jnp.float32),  # instance chunk buffers
+            pltpu.VMEM((2, G, FS), jnp.float32),  # gradient staging
+            pltpu.VMEM((1, P), jnp.float32),      # total Σ w·contrib
+            pltpu.VMEM((1, P), jnp.float32),      # transmittance state
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _bwd_kernel, mode=mode, G=G, P=P, th=th, tw=tw,
         early_stop=early_stop, pixel_offset=pixel_offset,
     )
-    dfeats = pl.pallas_call(
+    dinst = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_chunks, F, G), jnp.float32)],
-    )(chunks, nlive, origins, packed, g_rgb, g_alpha[:, None, :],
-      jstop, tbounds)
-    return dfeats[0]
+        out_shape=[jax.ShapeDtypeStruct((n_chunks, G, FS), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(astarts, counts, origins, jstop, inst,
+      g_rgb, g_alpha[:, None, :])
+    return dinst[0]
 
 
 _CACHE: dict = {}
 
 
-def _make_tiled_compositor(mode, tile_shape, early_stop, pixel_offset):
-    key = (mode, tile_shape, early_stop, pixel_offset)
+def _make_compositor(mode, tile_shape, early_stop, pixel_offset, G):
+    key = (mode, tile_shape, early_stop, pixel_offset, G)
     if key in _CACHE:
         return _CACHE[key]
 
     @jax.custom_vjp
-    def compose(packed, chunks, nlive, origins):
-        rgb, alpha, _, _ = _forward_call(
-            packed, chunks, nlive, origins, mode=mode, tile_shape=tile_shape,
-            early_stop=early_stop, pixel_offset=pixel_offset,
-            with_residuals=False)
+    def compose(inst, astarts, counts, origins):
+        rgb, alpha, _ = _forward_call(
+            inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
+            early_stop=early_stop, pixel_offset=pixel_offset, G=G)
         return rgb, alpha
 
-    def fwd(packed, chunks, nlive, origins):
-        rgb, alpha, jstop, tbounds = _forward_call(
-            packed, chunks, nlive, origins, mode=mode, tile_shape=tile_shape,
-            early_stop=early_stop, pixel_offset=pixel_offset,
-            with_residuals=True)
-        return (rgb, alpha), (packed, chunks, nlive, origins, jstop, tbounds)
+    def fwd(inst, astarts, counts, origins):
+        rgb, alpha, jstop = _forward_call(
+            inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
+            early_stop=early_stop, pixel_offset=pixel_offset, G=G)
+        return (rgb, alpha), (inst, astarts, counts, origins, jstop)
 
     def bwd(res, g):
-        packed, chunks, nlive, origins, jstop, tbounds = res
+        inst, astarts, counts, origins, jstop = res
         g_rgb, g_alpha = g
-        dpacked = _backward_call(
-            packed, chunks, nlive, origins, jstop, tbounds, g_rgb, g_alpha,
+        dinst = _backward_call(
+            inst, astarts, counts, origins, jstop, g_rgb, g_alpha,
             mode=mode, tile_shape=tile_shape, early_stop=early_stop,
-            pixel_offset=pixel_offset)
-        return (dpacked,
-                np.zeros(chunks.shape, dtype=jax.dtypes.float0),
-                np.zeros(nlive.shape, dtype=jax.dtypes.float0),
+            pixel_offset=pixel_offset, G=G)
+        return (dinst,
+                np.zeros(astarts.shape, dtype=jax.dtypes.float0),
+                np.zeros(counts.shape, dtype=jax.dtypes.float0),
                 np.zeros(origins.shape, dtype=jax.dtypes.float0))
 
     compose.defvjp(fwd, bwd)
@@ -471,11 +748,11 @@ def _make_tiled_compositor(mode, tile_shape, early_stop, pixel_offset):
 
 
 # ----------------------------------------------------------------------------
-# Public entry: tiled composite of the (depth-ordered) global Gaussian list.
+# Public entry: instance-binned tiled composite.
 # ----------------------------------------------------------------------------
 
 def pack_conic(mean2d, conic, opacity, colors, radius):
-    """[.., 2],[.., 3],[..],[.., 3],[..] → [.., 16] packed features."""
+    """[.., 2],[.., 3],[..],[.., 3],[..] -> [.., 16] packed features."""
     pads = jnp.zeros(mean2d.shape[:-1] + (F - 11,), mean2d.dtype)
     return jnp.concatenate([
         mean2d, conic, jnp.zeros_like(opacity[..., None]),
@@ -494,54 +771,55 @@ def pack_ellipse(mean2d, scales2d, theta, opacity, colors, radius):
 _WARMED: set = set()
 
 
-def _warm_kernels(shape, c_max, n_tiles, tile_shape, mode, early_stop,
-                  pixel_offset):
+def _warm_kernels(mcap, n_tiles, tile_shape, mode, early_stop, pixel_offset,
+                  G):
     """Compile the fwd/bwd kernels once OUTSIDE custom_vjp.
 
     Workaround for this environment's remote-compile service: a pallas_call
-    whose first compilation happens under the custom_vjp machinery deadlocks;
-    compiling the identical kernel eagerly first populates the compile cache
-    and the custom_vjp path then proceeds normally. Zero-cost after the first
-    call per shape configuration. Only needed (and only run) on real TPU.
+    whose first compilation happens under the custom_vjp machinery
+    deadlocks; compiling the identical kernel eagerly first populates the
+    compile cache. Zero-cost after the first call per shape configuration.
+    Only needed (and only run) on real TPU.
     """
     if jax.default_backend() != "tpu":
         return
-    key = (shape, c_max, n_tiles, tile_shape, mode, early_stop, pixel_offset)
+    key = (mcap, n_tiles, tile_shape, mode, early_stop, pixel_offset, G)
     if key in _WARMED:
         return
     _WARMED.add(key)
-    packed = jnp.zeros(shape, jnp.float32)
-    chunks = jnp.zeros((n_tiles, c_max), jnp.int32)
-    nlive = jnp.zeros((n_tiles,), jnp.int32)
+    inst = jnp.zeros((mcap // G, G, FS), jnp.float32)
+    astarts = jnp.zeros((n_tiles,), jnp.int32)
+    counts = jnp.zeros((n_tiles,), jnp.int32)
     origins = jnp.zeros((n_tiles, 2), jnp.int32)
-    _forward_call(
-        packed, chunks, nlive, origins, mode=mode, tile_shape=tile_shape,
-        early_stop=early_stop, pixel_offset=pixel_offset,
-        with_residuals=False)
-    rgb, alpha, jstop, tbounds = _forward_call(
-        packed, chunks, nlive, origins, mode=mode, tile_shape=tile_shape,
-        early_stop=early_stop, pixel_offset=pixel_offset,
-        with_residuals=True)
+    rgb, alpha, jstop = _forward_call(
+        inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
+        early_stop=early_stop, pixel_offset=pixel_offset, G=G)
     _backward_call(
-        packed, chunks, nlive, origins, jstop, tbounds, rgb, alpha,
+        inst, astarts, counts, origins, jstop, rgb, alpha,
         mode=mode, tile_shape=tile_shape, early_stop=early_stop,
-        pixel_offset=pixel_offset)
+        pixel_offset=pixel_offset, G=G)
 
 
-def composite_tiles_pallas(
-    packed: jnp.ndarray,  # [n_chunks, 16, G] chunked global features
-    chunks: jnp.ndarray,  # [T, C_max] int32 per-tile live chunk indices
-    nlive: jnp.ndarray,  # [T] int32 live-chunk counts
-    origins: jnp.ndarray,  # [T, 2] int32 (y0, x0)
+def composite_instances_pallas(
+    inst: jnp.ndarray,      # [mcap, FS] lane-padded instance features
+    astarts: jnp.ndarray,   # [T] int32 per-tile first row (G-aligned)
+    counts: jnp.ndarray,    # [T] int32 per-tile true instance count
+    origins: jnp.ndarray,   # [T, 2] int32 (y0, x0)
     tile_shape: Tuple[int, int],
-    mode: str,  # "conic" | "ellipse"
+    chunk: int,             # G: instance rows per DMA/compute step
+    mode: str,              # "conic" | "ellipse"
     early_stop: bool,
     pixel_offset: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns rgb [T, 3, P], alpha [T, P]."""
-    _warm_kernels(tuple(packed.shape), chunks.shape[1], origins.shape[0],
-                  tile_shape, mode, early_stop, pixel_offset)
-    compose = _make_tiled_compositor(mode, tile_shape, early_stop,
-                                     pixel_offset)
-    return compose(packed, chunks.astype(jnp.int32),
-                   nlive.astype(jnp.int32), origins.astype(jnp.int32))
+    """Composite per-tile instance segments. Returns rgb [T,3,P], alpha [T,P]."""
+    if inst.shape[0] % chunk:
+        raise ValueError("instance rows must be a multiple of chunk")
+    if inst.shape[1] != FS:
+        raise ValueError(f"instance features must be {FS}-lane padded")
+    _warm_kernels(inst.shape[0], origins.shape[0], tile_shape, mode,
+                  early_stop, pixel_offset, chunk)
+    compose = _make_compositor(mode, tile_shape, early_stop, pixel_offset,
+                               chunk)
+    return compose(inst.reshape(-1, chunk, FS),
+                   astarts.astype(jnp.int32),
+                   counts.astype(jnp.int32), origins.astype(jnp.int32))
