@@ -169,12 +169,19 @@ class FrameLoader:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        adaptive_fn=None,
     ):
+        """``adaptive_fn(mask [C',H,W]) -> (temp_K [C',3,3], seed [3])`` is
+        the adaptive-camera host hook (``adjust_principal_points_to_seed``):
+        when set, each frame's batch gains ``K_mask`` and its ``p_3d`` is
+        replaced by the triangulated seed, matching the reference's
+        in-forward recomputation (``src/shape_carver.py:328-347``)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.adaptive_fn = adaptive_fn
         self._rng = np.random.default_rng(seed)
         obs = list(dataset.observed_views)
         self._obs_pos = {v: i for i, v in enumerate(obs)}
@@ -185,15 +192,20 @@ class FrameLoader:
 
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         masks, imgs, p3ds, angles, views, obs = [], [], [], [], [], []
+        k_masks = []
         for i in idxs:
             m, im, p, a, v = self.ds.get(int(i))
+            if self.adaptive_fn is not None:
+                temp_K, seed = self.adaptive_fn(m)
+                k_masks.append(np.asarray(temp_K, np.float32))
+                p = np.asarray(seed, np.float32)
             masks.append(m)
             imgs.append(im)
             p3ds.append(p)
             angles.append(a)
             views.append(v)
             obs.append(self._obs_pos[v])
-        return dict(
+        batch = dict(
             mask=np.stack(masks),
             img=np.stack(imgs),
             p_3d=np.stack(p3ds),
@@ -201,6 +213,9 @@ class FrameLoader:
             view_idx=np.array(views, np.int32),
             obs_idx=np.array(obs, np.int32),
         )
+        if k_masks:
+            batch["K_mask"] = np.stack(k_masks)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)

@@ -318,17 +318,19 @@ class PoseSplatter:
         return g
 
     # ------------------------------------------------------------------
-    def render(self, g, view_idx, K_override=None):
+    def render(self, g, view_idx, K_override=None, return_overflow=False):
         """Render Gaussians to the cameras in ``view_idx`` ([B] int array).
 
-        Returns rgb [B,H,W,3], alpha [B,H,W].
+        Returns rgb [B,H,W,3], alpha [B,H,W] (+ overflow [] int32 when
+        ``return_overflow`` — the count of Gaussian×tile instances dropped
+        by finite binning capacity; the no-silent-truncation contract).
         """
         view_idx = jnp.atleast_1d(jnp.asarray(view_idx))
         if self.gaussian_mode == "3d":
             Ks = self.Ks if K_override is None else K_override
             Ks = jnp.take(Ks, view_idx, axis=0)
             viewmats = jnp.take(self.viewmats, view_idx, axis=0)
-            return rasterize(
+            out = rasterize(
                 g["means"],
                 g["quats"],
                 jnp.exp(g["log_scales"]),
@@ -343,9 +345,11 @@ class PoseSplatter:
                 mode=self.render_mode,
                 tile_shape=self.tile_shape,
                 tile_capacity=self.tile_capacity,
+                return_overflow=return_overflow,
             )
+            return out
         else:
-            rgb, alpha = rasterize_2d(
+            out = rasterize_2d(
                 g["means2d"],
                 jnp.exp(g["log_scales2d"]),
                 g["rotation"],
@@ -359,12 +363,15 @@ class PoseSplatter:
                 mode="global" if self.render_mode == "global" else "tiled",
                 tile_shape=self.tile_shape,
                 tile_capacity=self.tile_capacity,
+                return_overflow=return_overflow,
             )
+            rgb, alpha = out[0], out[1]
             B = view_idx.shape[0]
-            return (
-                jnp.broadcast_to(rgb[None], (B, *rgb.shape)),
-                jnp.broadcast_to(alpha[None], (B, *alpha.shape)),
-            )
+            rgb = jnp.broadcast_to(rgb[None], (B, *rgb.shape))
+            alpha = jnp.broadcast_to(alpha[None], (B, *alpha.shape))
+            if return_overflow:
+                return rgb, alpha, out[2]
+            return rgb, alpha
 
     # ------------------------------------------------------------------
     def forward(
@@ -378,6 +385,7 @@ class PoseSplatter:
         train: bool = True,
         K_mask=None,
         mutable=None,
+        return_overflow: bool = False,
     ):
         """Full forward pass for one frame (``model.py:134-174``).
 
@@ -415,6 +423,10 @@ class PoseSplatter:
             obs = jnp.asarray(np.asarray(self.observed_views))
             K_override = self.Ks.at[obs].set(K_mask)
 
+        if return_overflow:
+            rgb, alpha, overflow = self.render(
+                g, view_idx, K_override=K_override, return_overflow=True)
+            return rgb, alpha, new_vars, overflow
         rgb, alpha = self.render(g, view_idx, K_override=K_override)
         return rgb, alpha, new_vars
 

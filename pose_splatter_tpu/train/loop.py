@@ -47,7 +47,7 @@ def create_train_state(model, rng, tx: optax.GradientTransformation) -> TrainSta
 
 def _forward_loss(model, params, batch_stats, batch, img_lambda, ssim_lambda, train):
     variables = {"params": params, "batch_stats": batch_stats}
-    rgb, alpha, new_vars = model.forward(
+    rgb, alpha, new_vars, overflow = model.forward(
         variables,
         batch["mask"],
         batch["img"],
@@ -55,13 +55,19 @@ def _forward_loss(model, params, batch_stats, batch, img_lambda, ssim_lambda, tr
         batch["angle"],
         batch["view_idx"],
         train=train,
+        K_mask=batch.get("K_mask"),  # adaptive-camera temp_K (host hook)
         mutable=["batch_stats"] if train else None,
+        return_overflow=True,
     )
     target_mask = batch["mask"][batch["obs_idx"]]
     target_img = batch["img"][batch["obs_idx"]]
     loss, metrics = total_loss(
         rgb[0], alpha[0], target_img, target_mask, img_lambda, ssim_lambda
     )
+    # No-silent-truncation contract: the count of Gaussian×tile instances
+    # dropped by finite binning capacity rides along in the metrics so the
+    # trainer can flag it (zero in healthy runs).
+    metrics = dict(metrics, overflow=overflow.astype(jnp.float32))
     new_bs = new_vars["batch_stats"] if train else batch_stats
     return loss, (metrics, new_bs)
 

@@ -73,6 +73,22 @@ def build_model(config: Config, ablation: bool = False,
     )
 
 
+def make_adaptive_fn(model: PoseSplatter):
+    """Host hook for adaptive_camera: per-frame principal-point
+    re-centering over the observed views (reference recomputes this inside
+    every training forward, ``src/shape_carver.py:328-347``; here it runs
+    in the loader's prefetch thread so the jitted step stays static)."""
+    from pose_splatter_tpu.utils.cameras import adjust_principal_points_to_seed
+
+    Ks_obs = np.asarray(model.Ks_obs)
+    Es_obs = np.asarray(model.viewmats_obs)
+
+    def adaptive_fn(mask):
+        return adjust_principal_points_to_seed(np.asarray(mask), Ks_obs, Es_obs)
+
+    return adaptive_fn
+
+
 def build_datasets(config: Config, splits=("train", "valid")):
     img_fn = os.path.join(config.image_directory, "images.h5")
     intrinsic, _, Ps = get_cam_params(
@@ -117,10 +133,11 @@ def train_from_config(
     """Run training; returns (state, losses, validation_losses)."""
     model = build_model(config, ablation=ablation)
     train_ds, valid_ds = build_datasets(config)
+    adaptive_fn = make_adaptive_fn(model) if config.adaptive_camera else None
     loader = FrameLoader(train_ds, batch_size=batch_size, shuffle=True,
-                         seed=seed)
+                         seed=seed, adaptive_fn=adaptive_fn)
     valid_loader = FrameLoader(valid_ds, batch_size=batch_size, shuffle=False,
-                               seed=seed)
+                               seed=seed, adaptive_fn=adaptive_fn)
 
     tx = optax.adam(config.lr)
     state = create_train_state(model, jax.random.PRNGKey(seed), tx)
@@ -162,26 +179,35 @@ def train_from_config(
             n += 1
             if max_batches and b_num + 1 >= max_batches:
                 break
-        avg = [
-            float(np.mean([float(m[k]) for m in epoch_metrics]))
-            if epoch_metrics else 0.0
-            for k in LOSS_NAMES
-        ]
+        if epoch_metrics:
+            # One device→host transfer for the whole epoch (each float()
+            # is a separate round trip through the device relay).
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
+            host = jax.device_get(stacked)
+            avg = [float(np.mean(host[k])) for k in LOSS_NAMES]
+            dropped = float(np.sum(host.get("overflow", 0.0)))
+            if dropped > 0:
+                print(f"WARNING: rasterizer dropped ~{dropped:.0f} "
+                      "Gaussian-tile instances this epoch (binning capacity "
+                      "overflow) — raise tile_capacity/tile_expand/"
+                      "instance_cap.")
+        else:
+            avg = [0.0 for _ in LOSS_NAMES]
         losses.append(avg)
         if progress:
             print(f"epoch {epoch}: " +
                   " ".join(f"{k}={v:.5f}" for k, v in zip(LOSS_NAMES, avg)))
 
         if epoch % config.valid_every == 0:
-            vloss, vcount = 0.0, 0
+            vlosses = []
             for b_num, batch in enumerate(valid_loader):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 loss, _ = eval_fn(state, batch)
-                vloss += float(loss)
-                vcount += 1
+                vlosses.append(loss)  # device scalar; sync once below
                 if max_batches and b_num + 1 >= max_batches:
                     break
-            validation_losses.append(vloss / max(vcount, 1))
+            validation_losses.append(
+                float(np.mean(jax.device_get(vlosses))) if vlosses else 0.0)
             if progress:
                 print(f"  validation: {validation_losses[-1]:.5f}")
 

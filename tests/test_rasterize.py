@@ -200,3 +200,71 @@ class Test2DRasterize:
         eps = 1e-3
         num = float((f(o + eps) - f(o - eps)) / (2 * eps))
         assert abs(g - num) < 2e-2 * max(1.0, abs(num))
+
+
+class TestOverflowContract:
+    """Finite binning capacities are counted, never silent (VERDICT r1
+    item 6): the count surfaces through rasterize/rasterize_2d and
+    model.forward into the train-step metrics."""
+
+    def test_tiled_capacity_overflow_counted(self):
+        n = 64
+        rng = np.random.default_rng(0)
+        means2d = jnp.asarray(
+            np.full((n, 2), 16.0) + rng.normal(0, 1.0, (n, 2)), jnp.float32)
+        scales2d = jnp.full((n, 2), 4.0)
+        rot = jnp.zeros((n,))
+        opac = jnp.full((n,), 0.5)
+        colors = jnp.ones((n, 3)) * 0.5
+        rgb, alpha, ov = rasterize_2d(
+            means2d, scales2d, rot, opac, colors, 32, 32,
+            mode="tiled", tile_shape=(8, 128), tile_capacity=8,
+            return_overflow=True)
+        assert int(ov) > 0
+        rgb2, alpha2, ov2 = rasterize_2d(
+            means2d, scales2d, rot, opac, colors, 32, 32,
+            mode="tiled", tile_shape=(8, 128), tile_capacity=n,
+            return_overflow=True)
+        assert int(ov2) == 0
+        # The clipped render is actually missing mass.
+        assert float(jnp.abs(alpha - alpha2).max()) > 1e-3
+
+    def test_forward_loss_surfaces_overflow(self):
+        import optax
+
+        from pose_splatter_tpu.models.pose_splatter import PoseSplatter
+        from pose_splatter_tpu.train.loop import (
+            create_train_state,
+            make_train_step,
+        )
+        from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
+
+        C, H, W, F = 3, 32, 32, 40.0
+        Ks = np.array(
+            [[[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]]] * C, np.float32)
+        Es = np.stack([
+            camera_extrinsic_spherical(1.5, np.pi / 3, 2 * np.pi * i / C)
+            for i in range(C)
+        ]).astype(np.float32)
+        model = PoseSplatter(Ks, Es, W, H, ell=0.6, grid_size=16, min_n=16,
+                             max_n=64, volume_idx=[[0, 16]] * 3, num_unets=1,
+                             base_filters=4, render_mode="tiled",
+                             tile_shape=(8, 128), tile_capacity=4)
+        yy, xx = np.mgrid[0:H, 0:W]
+        m = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2) < (H / 3) ** 2)
+        m = m.astype(np.float32)
+        batch = dict(
+            mask=jnp.asarray(np.stack([m] * C))[None],
+            img=jnp.asarray(np.stack([np.stack([m] * 3, -1)] * C))[None],
+            p_3d=jnp.zeros((1, 3)),
+            angle=jnp.zeros((1,)),
+            view_idx=jnp.zeros((1,), jnp.int32),
+            obs_idx=jnp.zeros((1,), jnp.int32),
+        )
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+        step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.0,
+                               donate=False)
+        _, metrics = step(state, batch)
+        assert "overflow" in metrics
+        assert float(metrics["overflow"]) > 0  # capacity 4 must clip

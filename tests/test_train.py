@@ -99,3 +99,69 @@ class TestCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(restored.params),
                         jax.tree_util.tree_leaves(state.params)):
             assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestAdaptiveCamera:
+    """adaptive_camera is wired end-to-end: the host hook computes a
+    per-frame temp_K + seed, the loader injects them, and the train step
+    consumes K_mask (VERDICT r1 item 4; reference src/model.py:141-160)."""
+
+    def test_hook_and_train_step(self):
+        from pose_splatter_tpu.train.trainer import make_adaptive_fn
+
+        model, batch = _setup()
+        adaptive_fn = make_adaptive_fn(model)
+        # Off-center blobs so the medoid-seed reprojection actually shifts
+        # the principal points (a centered mask is a fixed point of the
+        # adjustment).
+        yy, xx = np.mgrid[0:H, 0:W]
+        blob = (((yy - H / 3) ** 2 + (xx - 2 * W / 3) ** 2)
+                < (H / 5) ** 2).astype(np.float32)
+        mask = np.stack([blob] * C)  # [C',H,W]
+        temp_K, seed = adaptive_fn(mask)
+        batch = dict(batch)
+        batch["mask"] = jnp.asarray(mask)[None]
+        assert temp_K.shape == (C, 3, 3)
+        assert seed.shape == (3,)
+        # Principal points moved; focal lengths untouched.
+        assert not np.allclose(temp_K[:, :2, 2], np.asarray(model.Ks_obs)[:, :2, 2])
+        np.testing.assert_allclose(temp_K[:, 0, 0], np.asarray(model.Ks_obs)[:, 0, 0])
+
+        abatch = dict(batch)
+        abatch["K_mask"] = jnp.asarray(temp_K)[None]
+        abatch["p_3d"] = jnp.asarray(seed, jnp.float32)[None]
+
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+        step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.0,
+                               donate=False)
+        _, m_plain = step(state, batch)
+        _, m_adapt = step(state, abatch)
+        assert np.isfinite(float(m_adapt["total"]))
+        # The override must actually change the forward.
+        assert float(m_adapt["total"]) != pytest.approx(
+            float(m_plain["total"]), abs=1e-7)
+
+    def test_loader_injects_k_mask(self, tmp_path):
+        import h5py
+
+        from pose_splatter_tpu.data.dataset import FrameDataset, FrameLoader
+        from pose_splatter_tpu.train.trainer import make_adaptive_fn
+
+        model, _ = _setup()
+        T = 3
+        rng = np.random.default_rng(0)
+        imgs = np.full((T, C, H, W, 3), 255, np.uint8)
+        imgs[:, :, 8:24, 8:24] = rng.integers(0, 200, (T, C, 16, 16, 3))
+        img_fn = str(tmp_path / "images.h5")
+        with h5py.File(img_fn, "w") as f:
+            f.create_dataset("images", data=imgs)
+        np.savez(tmp_path / "cr.npz",
+                 centers=np.zeros((T, 3), np.float32),
+                 angles=np.zeros((T,), np.float32))
+        ds = FrameDataset(img_fn, str(tmp_path / "cr.npz"), C, split="all")
+        loader = FrameLoader(ds, batch_size=1, shuffle=False, prefetch=0,
+                             adaptive_fn=make_adaptive_fn(model))
+        b = next(iter(loader))
+        assert b["K_mask"].shape == (1, C, 3, 3)
+        assert np.isfinite(b["p_3d"]).all()
