@@ -91,12 +91,12 @@ def make_sharded_train_step(
         nonlocal jitted
         if jitted is None:
             state_shardings = jax.tree.map(lambda _: repl, state)
+            # Metrics shardings are inferred (replicated falls out of the
+            # mean over the sharded batch axis); pinning a fixed key set
+            # here broke whenever _forward_loss gained a metric.
             jitted = jax.jit(
                 step,
                 in_shardings=(state_shardings, batch_shardings(batch)),
-                out_shardings=(state_shardings, jax.tree.map(lambda _: repl, {
-                    "iou": 0.0, "ssim": 0.0, "img": 0.0, "total": 0.0
-                })),
             )
         return jitted(state, batch)
 
