@@ -190,16 +190,25 @@ def _build_instances(center, radius, valid, n_ty, n_tx,
     overflow_cap = (counts - counts_c).sum()
     astarts_c = jnp.minimum(astarts[:T], max(mcap - G, 0))
 
-    # Slot enumeration, mirroring the onehot's row-major rect order.
-    e = jnp.arange(expand, dtype=jnp.int32)[None, :]  # [1, E]
-    ok = e < span_c[:, None]  # [N, E]
-    ty = y0t[:, None] + e // wspan[:, None]
-    tx = x0t[:, None] + e % wspan[:, None]
-    tile = jnp.where(ok, ty * n_tx + tx, 0)
-    within = jnp.take_along_axis(excl_f, tile, axis=1).astype(jnp.int32)
+    # Slot enumeration, mirroring the onehot's row-major rect order. The
+    # per-slot row  dest[n,e] = astarts[tile] + excl[n,tile]  is extracted
+    # from the [N, T] matrices with one masked reduction per slot index e
+    # (selecting the tile whose rect slot equals e) — measured ~8x faster
+    # on TPU than take_along_axis + a [N, E] gather of astarts.
+    row_nt = astarts[None, :T].astype(jnp.float32) + excl_f  # [N, T]
+    oh_b = oh > 0
+    dest_cols = []
+    ok_cols = []
+    for ei in range(expand):  # unrolled: keeps temporaries at [N, T]
+        sel_e = oh_b & (e_rm == ei)  # at most one True per row
+        dest_cols.append(jnp.sum(jnp.where(sel_e, row_nt, 0.0), axis=1))
+        ok_cols.append(jnp.any(sel_e, axis=1))
+    dest_f = jnp.stack(dest_cols, axis=1)  # [N, E]
+    ok = jnp.stack(ok_cols, axis=1)
     gid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], ok.shape)
-    # Dead slots get unique out-of-range rows (dropped by the scatter).
-    dest = jnp.where(ok, astarts[tile] + within, mcap + gid * expand + e)
+    e = jnp.arange(expand, dtype=jnp.int32)[None, :]
+    # Dead slots get out-of-range rows (dropped by the scatter).
+    dest = jnp.where(ok, dest_f.astype(jnp.int32), mcap + gid * expand + e)
     src = jnp.where(ok, gid, 0)
     return (dest.reshape(-1), src.reshape(-1), astarts_c,
             counts_c, overflow_span + overflow_cap)
@@ -225,11 +234,13 @@ def gather_instances(packed, dest, src, mcap):
     ``dest[k]``/``src[k]`` map slot k to instance row / source Gaussian;
     out-of-range ``dest`` rows are dropped.
 
-    A naive XLA row-scatter here costs ~1 s on TPU (scatters serialize);
-    instead the forward inverts the slot map with one sort + searchsorted
-    and GATHERS, and the hand-written VJP reduces instance gradients back
-    per-Gaussian with another gather (``dpacked[n] = Σ_e dinst[dest[n,e]]``)
-    — no scatter in either direction.
+    The slot map is inverted with one scalar scatter-set (unique indices,
+    out-of-range dropped) and the rows are then GATHERED; the hand-written
+    VJP reduces instance gradients back per-Gaussian with another gather
+    (``dpacked[n] = Σ_e dinst[dest[n,e]]``). Measured on TPU v5e at the
+    bench shape (N=16k, E=16, mcap=74k): scatter inversion 2.5 ms vs the
+    previous sort + searchsorted inversion 12.5 ms (searchsorted lowers to
+    a ~10 ms while-loop); a full row scatter would serialize (~1 s).
     """
     inv, _ = _invert_slots(dest, src, packed.shape[0], mcap)
     padded = jnp.concatenate(
@@ -242,13 +253,9 @@ def gather_instances(packed, dest, src, mcap):
 
 def _invert_slots(dest, src, n, mcap):
     """inv [mcap] int32 with inv[dest[k]] = src[k], else n (zero row)."""
-    ds, ss = jax.lax.sort_key_val(dest, src)
-    m = jnp.arange(mcap, dtype=dest.dtype)
-    j = jnp.searchsorted(ds, m)
-    jc = jnp.minimum(j, ds.shape[0] - 1)
-    hit = ds[jc] == m
-    inv = jnp.where(hit, ss[jc], n)
-    return inv, hit
+    inv = jnp.full((mcap,), n, dtype=src.dtype).at[dest].set(
+        src, mode="drop", unique_indices=True)
+    return inv, inv != n
 
 
 def _gather_instances_fwd(packed, dest, src, mcap):
