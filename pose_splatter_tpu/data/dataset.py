@@ -173,9 +173,12 @@ class FrameLoader:
     ):
         """``adaptive_fn(mask [C',H,W]) -> (temp_K [C',3,3], seed [3])`` is
         the adaptive-camera host hook (``adjust_principal_points_to_seed``):
-        when set, each frame's batch gains ``K_mask`` and its ``p_3d`` is
-        replaced by the triangulated seed, matching the reference's
-        in-forward recomputation (``src/shape_carver.py:328-347``)."""
+        when set, each frame's batch gains ``K_mask`` (temp intrinsics) and
+        ``seed_3d`` (the triangulated seed, repositioning only the carving
+        grid), matching the reference's in-forward recomputation
+        (``src/shape_carver.py:328-347``). ``p_3d`` stays the dataset
+        center — the reference's pose transform uses it unchanged
+        (``src/model.py:154``)."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -192,13 +195,13 @@ class FrameLoader:
 
     def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         masks, imgs, p3ds, angles, views, obs = [], [], [], [], [], []
-        k_masks = []
+        k_masks, seeds = [], []
         for i in idxs:
             m, im, p, a, v = self.ds.get(int(i))
             if self.adaptive_fn is not None:
                 temp_K, seed = self.adaptive_fn(m)
                 k_masks.append(np.asarray(temp_K, np.float32))
-                p = np.asarray(seed, np.float32)
+                seeds.append(np.asarray(seed, np.float32))
             masks.append(m)
             imgs.append(im)
             p3ds.append(p)
@@ -215,6 +218,7 @@ class FrameLoader:
         )
         if k_masks:
             batch["K_mask"] = np.stack(k_masks)
+            batch["seed_3d"] = np.stack(seeds)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

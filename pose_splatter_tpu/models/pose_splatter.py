@@ -228,6 +228,28 @@ class PoseSplatter:
         )
 
     # ------------------------------------------------------------------
+    def make_adaptive_fn(self):
+        """Host hook for adaptive_camera: per-frame principal-point
+        re-centering over the observed views,
+        ``adaptive_fn(mask [C',H,W]) -> (temp_K [C',3,3], seed [3])``.
+        The reference recomputes this inside EVERY forward — training,
+        evaluation, and plotting alike (``src/shape_carver.py:328-347``);
+        callers of :meth:`forward` must apply it whenever
+        ``self.adaptive_camera`` to avoid a train/inference mismatch."""
+        from pose_splatter_tpu.utils.cameras import (
+            adjust_principal_points_to_seed,
+        )
+
+        Ks_obs = np.asarray(self.Ks_obs)
+        Es_obs = np.asarray(self.viewmats_obs)
+
+        def adaptive_fn(mask):
+            return adjust_principal_points_to_seed(
+                np.asarray(mask), Ks_obs, Es_obs)
+
+        return adaptive_fn
+
+    # ------------------------------------------------------------------
     def init(self, rng) -> Dict[str, Any]:
         dummy = jnp.zeros((1, *self.input_size, self.in_channels))
         return self.net.init(rng, dummy, train=False)
@@ -360,7 +382,7 @@ class PoseSplatter:
                 valid=g["valid"],
                 background=self.background_color,
                 sigma_cutoff=self.sigma_cutoff,
-                mode="global" if self.render_mode == "global" else "tiled",
+                mode=self.render_mode,
                 tile_shape=self.tile_shape,
                 tile_capacity=self.tile_capacity,
                 return_overflow=return_overflow,
@@ -384,6 +406,7 @@ class PoseSplatter:
         view_idx,
         train: bool = True,
         K_mask=None,
+        carve_center=None,
         mutable=None,
         return_overflow: bool = False,
     ):
@@ -394,11 +417,16 @@ class PoseSplatter:
             mask [C',H,W]; img [C',H,W,3] (observed views only, channel-last).
             p_3d [3]; angle scalar; view_idx int or [B] ints.
             K_mask: adaptive-camera temp_K override (host-precomputed).
+            carve_center: adaptive-camera triangulated seed [3] — repositions
+                ONLY the carving grid (reference replaces ``center`` inside
+                the carver, ``src/shape_carver.py:328-337``) while the pose
+                transform keeps the dataset ``p_3d`` (``model.py:154``).
             mutable: e.g. ['batch_stats'] during training.
 
         Returns (rgb [B,H,W,3], alpha [B,H,W], new_mutable_vars_or_None).
         """
-        volume = self.carve(mask, img, p_3d, angle, K_mask=K_mask)  # [4,n1,n2,n3]
+        center = p_3d if carve_center is None else carve_center
+        volume = self.carve(mask, img, center, angle, K_mask=K_mask)  # [4,n1,n2,n3]
         volume = jnp.transpose(volume, (1, 2, 3, 0))[None]  # [1,n1,n2,n3,4]
 
         if mutable:

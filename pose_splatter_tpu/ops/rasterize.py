@@ -585,7 +585,9 @@ def rasterize(
         tile_expand = DEFAULT_EXPAND
 
     if mode == "pallas":
-        from pose_splatter_tpu.ops.rasterize_pallas import pack_conic
+        from pose_splatter_tpu.ops.rasterize_pallas import (
+            FS, pack_conic, permute_rows,
+        )
 
         # All cameras in one kernel grid (camera folds into the tile axis).
         proj = jax.vmap(
@@ -599,19 +601,22 @@ def rasterize(
         keys = jnp.where(ok, proj.depth, jnp.inf)
         order = jnp.argsort(keys, axis=1)  # depth order per camera
 
-        def reorder(x):
-            idx = order.reshape(order.shape + (1,) * (x.ndim - 2))
-            return jnp.take_along_axis(x, jnp.broadcast_to(
-                idx, order.shape + x.shape[2:]), axis=1)
+        # Pack BEFORE sorting so the depth permutation is ONE lane-aligned
+        # row gather with a gather-by-inverse backward (permute_rows); the
+        # per-array take_along_axis reorder this replaces cost ~5 ms of
+        # backward scatter-adds at the bench shape.
+        B = order.shape[0]
+        opac = jnp.broadcast_to(opacities[None], (B, N))
+        cols = jnp.broadcast_to(colors[None], (B, N, 3))
+        packed = pack_conic(proj.mean2d, proj.conic, opac, cols, proj.radius)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros(packed.shape[:-1] + (FS - packed.shape[-1],),
+                               packed.dtype)], axis=-1)
+        packed = jax.vmap(permute_rows)(packed, order)
+        mean2d = packed[..., 0:2]
+        rad = packed[..., 10]
+        ok_s = jnp.take_along_axis(ok, order, axis=1)
 
-        mean2d = reorder(proj.mean2d)
-        conic = reorder(proj.conic)
-        rad = reorder(proj.radius)
-        ok_s = reorder(ok)
-        opac = reorder(jnp.broadcast_to(opacities[None], (order.shape[0], N)))
-        cols = reorder(jnp.broadcast_to(colors[None], (order.shape[0], N, 3)))
-
-        packed = pack_conic(mean2d, conic, opac, cols, rad)
         rgb, alpha, overflow = _composite_instances_pallas(
             packed, mean2d, rad, ok_s, "conic", height, width,
             tile_shape, chunk, tile_expand, True, 0.5,

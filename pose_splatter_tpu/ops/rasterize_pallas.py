@@ -225,6 +225,32 @@ def instance_rows(N: int, T: int, expand: int, G: int,
     return min(worst, -(-cap // G) * G)
 
 
+@jax.custom_vjp
+def permute_rows(x, order):
+    """``x[order]`` for a permutation ``order``, with a scatter-free VJP.
+
+    XLA autodiff of take_along_axis emits a scatter-add (~ms-scale on TPU);
+    a permutation's adjoint is just the gather by the inverse permutation,
+    which we build with one cheap scalar scatter. Rows should be 128-lane
+    padded — narrow row gathers lower ~100x slower on TPU.
+    """
+    return jnp.take(x, order, axis=0)
+
+
+def _permute_rows_fwd(x, order):
+    return jnp.take(x, order, axis=0), order
+
+
+def _permute_rows_bwd(order, g):
+    n = order.shape[0]
+    inv = jnp.zeros((n,), order.dtype).at[order].set(
+        jnp.arange(n, dtype=order.dtype), unique_indices=True)
+    return jnp.take(g, inv, axis=0), None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def gather_instances(packed, dest, src, mcap):
     """[N, F] packed Gaussians → [mcap, FS] lane-padded instance array.
@@ -243,11 +269,12 @@ def gather_instances(packed, dest, src, mcap):
     a ~10 ms while-loop); a full row scatter would serialize (~1 s).
     """
     inv, _ = _invert_slots(dest, src, packed.shape[0], mcap)
+    if packed.shape[1] != FS:  # accept pre-padded [N, FS] rows
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((packed.shape[0], FS - packed.shape[1]),
+                               packed.dtype)], axis=1)
     padded = jnp.concatenate(
-        [packed, jnp.zeros((packed.shape[0], FS - packed.shape[1]),
-                           packed.dtype)], axis=1)
-    padded = jnp.concatenate(
-        [padded, jnp.zeros((1, FS), packed.dtype)], axis=0)
+        [packed, jnp.zeros((1, FS), packed.dtype)], axis=0)
     return padded[inv]
 
 
@@ -391,8 +418,7 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
     def _():
         in_dma(0, 0).start()
 
-    def body(carry):
-        j, _ = carry
+    def step(j):
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < n_steps)
@@ -416,17 +442,24 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
         acc_ref[...] += jnp.concatenate([r, g, b, al], axis=0)
         T_out = T_in * cp[-1:]
         t_ref[...] = T_out
-        if early_stop:
+        return T_out
+
+    if early_stop:
+        def body(carry):
+            j, _ = carry
+            T_out = step(j)
             # Once every pixel's transmittance is below STOP_T all later
             # contributions are exactly zero — break out of the walk.
-            alive = jnp.max(T_out) >= STOP_T
-        else:
-            alive = True
-        return j + 1, alive
+            return j + 1, jnp.max(T_out) >= STOP_T
 
-    j_stop, _ = jax.lax.while_loop(
-        lambda c: jnp.logical_and(c[0] < n_steps, c[1]),
-        body, (jnp.int32(0), True))
+        j_stop, _ = jax.lax.while_loop(
+            lambda c: jnp.logical_and(c[0] < n_steps, c[1]),
+            body, (jnp.int32(0), jnp.bool_(True)))
+    else:
+        # No early-out: a fori_loop avoids a bool loop carry (Mosaic fails
+        # to verify an (i32, i1) scf.while under a vmapped grid).
+        jax.lax.fori_loop(0, n_steps, lambda j, c: (step(j), c)[1], 0)
+        j_stop = n_steps
 
     # Drain: an input DMA for chunk j_stop is in flight iff we early-stopped.
     @pl.when(j_stop < n_steps)
@@ -690,18 +723,24 @@ def _backward_call(inst, astarts, counts, origins, jstop,
         early_stop=early_stop, pixel_offset=pixel_offset,
     )
     dinit = jnp.zeros((n_chunks, G, FS), jnp.float32)
+    # Alias the zeros input onto the output so unwalked chunks stay zero
+    # without a kernel-side zero-fill walk. dinit must be the LAST operand;
+    # deriving its flat index from the tuple keeps the alias correct if
+    # operands are ever added before it (inst at index 4 has the identical
+    # shape/dtype, so a stale hardcoded index would silently alias the
+    # wrong buffer).
+    operands = (astarts, counts, origins, jstop, inst,
+                g_rgb, g_alpha[:, None, :], dinit)
+    alias_idx = len(operands) - 1
+    assert operands[alias_idx] is dinit
     dinst = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_chunks, G, FS), jnp.float32)],
-        # Alias the zeros input (flat arg 7: four scalar-prefetch args +
-        # inst, g_rgb, g_alpha precede it) onto the output so unwalked
-        # chunks stay zero without a kernel-side zero-fill walk.
-        input_output_aliases={7: 0},
+        input_output_aliases={alias_idx: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(astarts, counts, origins, jstop, inst,
-      g_rgb, g_alpha[:, None, :], dinit)
+    )(*operands)
     return dinst[0]
 
 

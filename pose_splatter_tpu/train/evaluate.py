@@ -50,11 +50,17 @@ def render_images(
     num_frames = len(dataset_test)
     offset = total_num_frames - num_frames
     view_idx = jnp.arange(C)
+    # Adaptive models must evaluate with the same per-frame temp_K / seed
+    # the training forward used (the reference recomputes it inside every
+    # forward, src/shape_carver.py:328-347).
+    adaptive_fn = model.make_adaptive_fn() if model.adaptive_camera else None
 
     @jax.jit
-    def forward(variables, mask, img, p_3d, angle):
+    def forward(variables, mask, img, p_3d, angle, K_mask=None,
+                carve_center=None):
         rgb, alpha, _ = model.forward(
-            variables, mask, img, p_3d, angle, view_idx, train=False
+            variables, mask, img, p_3d, angle, view_idx, train=False,
+            K_mask=K_mask, carve_center=carve_center,
         )
         rgba = jnp.concatenate([rgb, alpha[..., None]], -1)
         return jnp.clip(rgba, 0.0, 1.0)
@@ -71,9 +77,14 @@ def render_images(
         local = 0
         for i in range(num_frames):
             mask, img, p_3d, angle, _ = dataset_test.get(i, view_idx=0)
+            kw = {}
+            if adaptive_fn is not None:
+                temp_K, seed = adaptive_fn(mask)
+                kw = dict(K_mask=jnp.asarray(temp_K, jnp.float32),
+                          carve_center=jnp.asarray(seed, jnp.float32))
             rgba = forward(
                 variables, jnp.asarray(mask), jnp.asarray(img),
-                jnp.asarray(p_3d), jnp.float32(angle),
+                jnp.asarray(p_3d), jnp.float32(angle), **kw,
             )
             buffer.append((255 * np.asarray(rgba)).astype(np.uint8))
             if len(buffer) >= write_batch_frames:

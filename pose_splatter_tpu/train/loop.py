@@ -56,6 +56,7 @@ def _forward_loss(model, params, batch_stats, batch, img_lambda, ssim_lambda, tr
         batch["view_idx"],
         train=train,
         K_mask=batch.get("K_mask"),  # adaptive-camera temp_K (host hook)
+        carve_center=batch.get("seed_3d"),  # adaptive seed (carve grid only)
         mutable=["batch_stats"] if train else None,
         return_overflow=True,
     )

@@ -74,19 +74,9 @@ def build_model(config: Config, ablation: bool = False,
 
 
 def make_adaptive_fn(model: PoseSplatter):
-    """Host hook for adaptive_camera: per-frame principal-point
-    re-centering over the observed views (reference recomputes this inside
-    every training forward, ``src/shape_carver.py:328-347``; here it runs
-    in the loader's prefetch thread so the jitted step stays static)."""
-    from pose_splatter_tpu.utils.cameras import adjust_principal_points_to_seed
-
-    Ks_obs = np.asarray(model.Ks_obs)
-    Es_obs = np.asarray(model.viewmats_obs)
-
-    def adaptive_fn(mask):
-        return adjust_principal_points_to_seed(np.asarray(mask), Ks_obs, Es_obs)
-
-    return adaptive_fn
+    """Back-compat alias for :meth:`PoseSplatter.make_adaptive_fn` (here it
+    runs in the loader's prefetch thread so the jitted step stays static)."""
+    return model.make_adaptive_fn()
 
 
 def build_datasets(config: Config, splits=("train", "valid")):
@@ -185,7 +175,9 @@ def train_from_config(
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
             host = jax.device_get(stacked)
             avg = [float(np.mean(host[k])) for k in LOSS_NAMES]
-            dropped = float(np.sum(host.get("overflow", 0.0)))
+            # loss_fn means metrics over the vmapped frame batch, so undo
+            # the mean to report the epoch's total dropped-instance count.
+            dropped = float(np.sum(host.get("overflow", 0.0))) * batch_size
             if dropped > 0:
                 print(f"WARNING: rasterizer dropped ~{dropped:.0f} "
                       "Gaussian-tile instances this epoch (binning capacity "

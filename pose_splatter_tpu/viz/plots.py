@@ -37,6 +37,8 @@ def plot_predictions(model, variables, dataset, save_path: str = "temp.pdf",
 
     plt = _plt()
     rng = np.random.default_rng(seed)
+    adaptive_fn = (model.make_adaptive_fn()
+                   if getattr(model, "adaptive_camera", False) else None)
     _, axarr = plt.subplots(ncols=2, nrows=num_examples,
                             figsize=(4, 2 * num_examples))
     for j in range(num_examples):
@@ -44,9 +46,14 @@ def plot_predictions(model, variables, dataset, save_path: str = "temp.pdf",
         view = int(dataset.observed_views[0])
         mask, img, p_3d, angle, _ = dataset.get(idx, view_idx=view)
         obs_pos = list(dataset.observed_views).index(view)
+        kw = {}
+        if adaptive_fn is not None:  # same temp_K/seed as the train forward
+            temp_K, seed_3d = adaptive_fn(mask)
+            kw = dict(K_mask=jnp.asarray(temp_K, jnp.float32),
+                      carve_center=jnp.asarray(seed_3d, jnp.float32))
         rgb, _, _ = model.forward(
             variables, jnp.asarray(mask), jnp.asarray(img),
-            jnp.asarray(p_3d), jnp.float32(angle), view, train=False,
+            jnp.asarray(p_3d), jnp.float32(angle), view, train=False, **kw,
         )
         axarr[j, 0].imshow(img[obs_pos])
         axarr[j, 0].axis("off")
