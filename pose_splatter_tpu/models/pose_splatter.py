@@ -140,6 +140,28 @@ class PoseSplatterNet(nn.Module):
         return flat, params
 
 
+def init_means2d_center(params, W: int, H: int, sigma_px: float = 2.0):
+    """2D-mode init aid: bias the Gaussian head so means2d start at the
+    image center instead of pixel (0, 0), and set the shared log-scale to
+    a visible pixel sigma.
+
+    The reference's 2D head emits raw pixel coordinates from a default
+    near-zero-bias MLP (``src/model.py:236-254``) and keeps the 3D world-
+    unit scale init (−5.5 → σ≈0.004 PIXELS — sub-pixel dots), relying on
+    its long training schedule (~1e5 steps) to migrate/grow Gaussians;
+    both choices put the optimizer in a near-zero-gradient corner.
+    Centering the start and initializing σ≈``sigma_px`` removes that
+    transient without changing the learned optimum. Framework extension,
+    documented deviation (docs/DESIGN.md §5)."""
+    head = dict(params["head2"])
+    b = head["bias"].at[0].set(W / 2.0).at[1].set(H / 2.0)
+    head["bias"] = b
+    out = dict(params)
+    out["head2"] = head
+    out["scale"] = jnp.full_like(params["scale"], math.log(sigma_px))
+    return out
+
+
 class PoseSplatter:
     """Orchestrates constants (cameras, grid) + the Flax net + render.
 
@@ -259,7 +281,6 @@ class PoseSplatter:
         """Shape-carve one frame. mask [C',H,W]; img [C',H,W,3] (observed
         views only). ``K_mask`` overrides the mask-projection intrinsics
         (adaptive-camera ``temp_K``, computed host-side)."""
-        K_mask = self.Ks_obs if K_mask is None else K_mask
         return carve_volume(
             mask,
             img,

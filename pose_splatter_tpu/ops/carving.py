@@ -130,6 +130,47 @@ def ray_cast_visibility(
     return visible & occupied[None, :]
 
 
+def ray_cast_visibility_pair(
+    dists: jnp.ndarray,  # [C, N] voxel-to-camera distances
+    flat: jnp.ndarray,   # [C, N] flattened pixel indices
+    occ1: jnp.ndarray,   # [N] bool (first threshold's occupied set)
+    occ2: jnp.ndarray,   # [N] bool (second threshold's occupied set)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frontmost-voxel visibility for BOTH carve thresholds from one sort.
+
+    The per-camera (pixel, depth) sort is threshold-independent, so both
+    occupied sets ride along as carried values and each threshold's
+    "first occupied within its pixel segment" is a pair of cheap scans
+    (cumsum + segmented cummax); one shared restore sort maps both back.
+    Measured at the north-star shape (N=1M, C=5): 57 ms vs 80 ms for two
+    independent lexsort+restore passes (scripts/dbg_carve_micro.py).
+    Semantics identical to two :func:`ray_cast_visibility` calls.
+    """
+    N = dists.shape[1]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    o1 = occ1.astype(jnp.int32)
+    o2 = occ2.astype(jnp.int32)
+
+    def per_cam(d, idx):
+        p_s, _, i_s, o1_s, o2_s = jax.lax.sort(
+            (idx, d, iota, o1, o2), num_keys=2)
+        first = jnp.concatenate([jnp.ones((1,), bool), p_s[1:] != p_s[:-1]])
+
+        def first_occupied(o):
+            s = jnp.cumsum(o)
+            excl = s - o
+            seg_base = jax.lax.cummax(jnp.where(first, excl, -1))
+            return (o > 0) & (excl == seg_base)
+
+        v1 = first_occupied(o1_s).astype(jnp.int32)
+        v2 = first_occupied(o2_s).astype(jnp.int32)
+        _, r1, r2 = jax.lax.sort((i_s, v1, v2), num_keys=1)
+        return r1.astype(bool), r2.astype(bool)
+
+    vis1, vis2 = jax.vmap(per_cam)(dists, flat)  # [C, N] each
+    return vis1 & occ1[None, :], vis2 & occ2[None, :]
+
+
 def compute_voxel_colors(
     grid_points: jnp.ndarray,
     occupied: jnp.ndarray,
@@ -176,7 +217,7 @@ def carve_volume(
     center: jnp.ndarray,
     angle: jnp.ndarray,
     grid: jnp.ndarray,
-    K_mask: jnp.ndarray,
+    K_mask: Optional[jnp.ndarray],
     K_color: jnp.ndarray,
     extrinsics: jnp.ndarray,
     volume_fill_color: float = 0.45,
@@ -190,9 +231,10 @@ def carve_volume(
         center: [3] world-space shift for this frame.
         angle:  scalar yaw for this frame.
         grid:   [n1, n2, n3, 3] canonical voxel grid.
-        K_mask: [C, 3, 3] intrinsics used for the mask back-projection (this
-                is the adaptive-camera ``temp_K`` when enabled; reference
-                ``shape_carver.py:329-347``).
+        K_mask: [C, 3, 3] intrinsics used for the mask back-projection (the
+                adaptive-camera ``temp_K``; reference
+                ``shape_carver.py:329-347``), or ``None`` to share
+                ``K_color`` (enables the fused mask+RGB gather).
         K_color:[C, 3, 3] intrinsics used for colors/visibility (always the
                 original K; reference ``shape_carver.py:354``).
         extrinsics: [C, 4, 4].
@@ -208,22 +250,36 @@ def carve_volume(
     grid_t = transform_grid(grid, center, angle)  # [n1,n2,n3,3]
     pts = grid_t.reshape(-1, 3)
 
-    mask_volume = get_volume(mask[..., None], K_mask, extrinsics, grid_t)  # [1,...]
-    mask_flat = mask_volume.reshape(-1)  # [N]
-
     # Threshold-independent work hoisted out of the two-threshold loop:
-    # projections and sampled colors depend only on geometry; only the
-    # visibility weights change with the occupied set.
+    # projections and image sampling depend only on geometry; only the
+    # occupied sets change with the threshold. Gathers dominate the carve
+    # on TPU (~45 ms per [C,N] gather at grid 128 — dbg_carve_micro.py),
+    # so mask and RGB ride ONE fused 4-channel gather whenever they share
+    # intrinsics; adaptive-camera frames (K_mask = temp_K) keep the
+    # separate mask projection the reference uses (shape_carver.py:329-347).
     imgH, imgW = rgb.shape[1], rgb.shape[2]
     pix = project_points(pts, K_color, extrinsics, clamp_z=True)  # [C,N,2]
-    sampled = sample_nearest_pixels(rgb, pix)  # [C, N, 3]
+    if K_mask is None:
+        fused = jnp.concatenate([rgb, mask[..., None]], axis=-1)  # [C,H,W,4]
+        samp = sample_nearest_pixels(fused, pix)  # [C, N, 4]
+        sampled = samp[..., :3]
+        mask_flat = samp[..., 3].mean(axis=0)  # [N]
+    else:
+        sampled = sample_nearest_pixels(rgb, pix)  # [C, N, 3]
+        pix_m = project_points(pts, K_mask, extrinsics)
+        mask_flat = sample_nearest_pixels(
+            mask[..., None], pix_m)[..., 0].mean(axis=0)
+
+    cam_pos = camera_positions(extrinsics)  # [C, 3]
+    dists = jnp.linalg.norm(pts[None] - cam_pos[:, None, :], axis=-1)
+    _, _, flat = _pixel_indices(pix, imgH, imgW)  # [C, N]
+
+    occ1 = mask_flat >= 1.0
+    occ2 = mask_flat >= (C - 1.0) / C
+    vis1, vis2 = ray_cast_visibility_pair(dists, flat, occ1, occ2)
 
     out = jnp.zeros((4, N), dtype=jnp.float32)
-    for thresh in (1.0, (C - 1.0) / C):
-        occupied = mask_flat >= thresh  # [N] bool
-        visible = ray_cast_visibility(
-            pts, occupied, K_color, extrinsics, imgH, imgW
-        )  # [C, N]
+    for occupied, visible in ((occ1, vis1), (occ2, vis2)):
         weights = jnp.where(visible, 1.0, nonvisible_weight)
         weights = weights / jnp.clip(weights.sum(axis=0, keepdims=True), 1e-8)
         colors = jnp.einsum("cn,cnk->nk", weights, sampled)  # [N, 3]

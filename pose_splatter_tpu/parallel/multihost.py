@@ -31,6 +31,7 @@ import time
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -131,12 +132,25 @@ def measure_steps_per_s(step_fn, state, batch, iters: int = 10) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def scaling_report(make_step_and_inputs, device_counts=None) -> Dict[str, Any]:
+def scaling_report(make_step_and_inputs, device_counts=None,
+                   spmd_baseline: bool = False) -> Dict[str, Any]:
     """steps/s and per-device scaling efficiency across device counts.
 
     ``make_step_and_inputs(devices) -> (step_fn, state, batch)`` builds a
     DP step over a mesh on exactly those devices with a proportionally
     sized batch (weak scaling).
+
+    ``efficiency`` is classic weak-scaling efficiency (global frames/s vs
+    perfect linear scaling of the 1-device rate) — meaningful on real
+    multi-chip hardware, where each device adds compute.
+
+    ``spmd_baseline=True`` adds ``spmd_efficiency``: the time of ONE device
+    stepping the same GLOBAL batch divided by the n-device DP step time.
+    This isolates the partitioning + collective overhead from hardware
+    throughput, which is the only meaningful scaling figure on a VIRTUAL
+    device mesh (``--xla_force_host_platform_device_count``), where all
+    "devices" share the same physical cores and classic weak scaling
+    merely measures host contention.
     """
     if device_counts is None:
         n = len(jax.devices())
@@ -151,10 +165,22 @@ def scaling_report(make_step_and_inputs, device_counts=None) -> Dict[str, Any]:
         frames = sps * n  # weak scaling: batch grows with n
         if base is None:
             base = frames
-        rows.append({
+        row = {
             "devices": n,
             "steps_per_s": round(sps, 4),
             "frames_per_s": round(frames, 4),
             "efficiency": round(frames / (base * n / device_counts[0]), 4),
-        })
+        }
+        if spmd_baseline and n > 1:
+            # Same global batch on ONE device: replicate-free reference.
+            step1, state1, batch1 = make_step_and_inputs(jax.devices()[:1])
+            big = jax.device_put(
+                jax.tree.map(
+                    lambda x: jnp.concatenate([x] * n, axis=0),
+                    jax.device_get(batch1)),
+                NamedSharding(Mesh(np.asarray(jax.devices()[:1]), ("data",)),
+                              P("data")))
+            sps1 = measure_steps_per_s(step1, state1, big)
+            row["spmd_efficiency"] = round(sps / sps1, 4)
+        rows.append(row)
     return {"rows": rows}

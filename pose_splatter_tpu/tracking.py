@@ -1,14 +1,20 @@
 """Temporal pose tracking: principal-axis estimation with sign continuity.
 
-Parity with the reference (``/root/reference/src/tracking.py:11-114``):
-per-frame largest eigenvector of the carved volume's covariance; sign
-ambiguity between consecutive frames resolved by transporting the tracked
-point through the W2-optimal-transport map between consecutive Gaussians
-``T(x) = μ₂ + A(x − μ₁)``, ``A = Σ₂^½ (Σ₂^½ Σ₁ Σ₂^½)^(-½) Σ₂^½``; the global
+Behavior parity with the reference (``/root/reference/src/tracking.py:11-114``):
+per-frame largest eigenvector of the carved volume's covariance; the sign
+ambiguity between consecutive frames is resolved by transporting the tracked
+axis tip through the W2-optimal-transport map between consecutive Gaussians
+``T(x) = μ₂ + A(x − μ₁)``, ``A = Σ₂^½ (Σ₂^½ Σ₁ Σ₂^½)^(−½) Σ₂^½``; the global
 sign is fixed by correlating the axes with the direction of motion.
 
-Host-side NumPy: this is a strictly sequential O(T) scalar recurrence over
-frames (tiny 3x3 eigendecompositions), not TPU work.
+This implementation vectorizes the whole trajectory instead of looping: all
+T eigendecompositions, all T−1 transport matrices, and all consecutive-pair
+sign agreements are batched ``eigh``/``matmul`` calls, and the sequential
+sign recurrence collapses to a cumulative product — because the transport
+map is linear, the frame-(t+1) sign is
+``s_{t+1} = s_t · sign(⟨A_t v_t, v_{t+1}⟩)``, so the per-pair agreements
+``c_t`` fully determine ``s = cumprod(c)``. Host-side NumPy (tiny 3×3
+problems; not TPU work).
 """
 
 from __future__ import annotations
@@ -16,54 +22,59 @@ from __future__ import annotations
 import numpy as np
 
 
-def _largest_eigvec(cov: np.ndarray) -> np.ndarray:
-    vals, vecs = np.linalg.eigh(cov)
-    v = vecs[:, np.argmax(vals)]
-    return v / np.linalg.norm(v)
+def _eigh_sqrt(mats: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Batched symmetric matrix square root ``M^½`` (or ``M^{-½}``)."""
+    vals, vecs = np.linalg.eigh(mats)
+    vals = np.clip(vals, 0.0, None)
+    d = np.sqrt(vals)
+    if inverse:
+        d = 1.0 / np.maximum(d, 1e-12)
+    return np.einsum("...ij,...j,...kj->...ik", vecs, d, vecs)
 
 
-def _cov_sqrt(cov: np.ndarray) -> np.ndarray:
-    vals, vecs = np.linalg.eigh(cov)
-    return (vecs * np.sqrt(np.clip(vals, 0, None))) @ vecs.T
+def principal_axes(covariances: np.ndarray) -> np.ndarray:
+    """Batched unit largest-eigenvectors: [T, n, n] → [T, n] (sign-free)."""
+    _, vecs = np.linalg.eigh(covariances)  # ascending
+    v = vecs[..., -1]
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def transport_matrices(covariances: np.ndarray) -> np.ndarray:
+    """W2-optimal-transport linear maps between consecutive Gaussians.
+
+    Returns A [T−1, n, n] with ``A_t = Σ_{t+1}^½ (Σ_{t+1}^½ Σ_t
+    Σ_{t+1}^½)^{-½} Σ_{t+1}^½`` so that ``x ↦ μ_{t+1} + A_t (x − μ_t)``
+    pushes N(μ_t, Σ_t) onto N(μ_{t+1}, Σ_{t+1})."""
+    s2 = _eigh_sqrt(covariances[1:])  # Σ_{t+1}^½
+    inner = s2 @ covariances[:-1] @ s2
+    return s2 @ _eigh_sqrt(inner, inverse=True) @ s2
 
 
 def optimal_transport_map(mean1, cov1, mean2, cov2, x):
-    """W2-optimal transport map between Gaussians, applied to ``x``."""
-    sqrt_cov2 = _cov_sqrt(cov2)
-    inside = sqrt_cov2 @ cov1 @ sqrt_cov2
-    vals_in, vecs_in = np.linalg.eigh(inside)
-    sqrt_inside = (vecs_in * np.sqrt(np.clip(vals_in, 0, None))) @ vecs_in.T
-    A = sqrt_cov2 @ np.linalg.inv(sqrt_inside) @ sqrt_cov2
-    return mean2 + A @ (x - mean1)
+    """Apply the two-Gaussian W2 transport map to point(s) ``x``."""
+    A = transport_matrices(np.stack([cov1, cov2]))[0]
+    return mean2 + (A @ (np.asarray(x) - mean1).T).T.reshape(np.shape(x))
 
 
-def track_principal_axes(means: np.ndarray, covariances: np.ndarray) -> np.ndarray:
-    """means [T,n], covariances [T,n,n] → sign-consistent axes [T,n]."""
-    T, n = means.shape
-    principal_axes = np.zeros((T, n))
-
-    v0 = _largest_eigvec(covariances[0])
-    principal_axes[0] = v0
-    p_t = means[0] + v0
-
-    for t in range(T - 1):
-        v_next = _largest_eigvec(covariances[t + 1])
-        p_t_to_next = optimal_transport_map(
-            means[t], covariances[t], means[t + 1], covariances[t + 1], p_t
-        )
-        plus = means[t + 1] + v_next
-        minus = means[t + 1] - v_next
-        if np.linalg.norm(p_t_to_next - minus) < np.linalg.norm(p_t_to_next - plus):
-            v_next = -v_next
-        principal_axes[t + 1] = v_next
-        p_t = means[t + 1] + v_next
-
+def track_principal_axes(means: np.ndarray,
+                         covariances: np.ndarray) -> np.ndarray:
+    """means [T, n], covariances [T, n, n] → sign-consistent axes [T, n]."""
+    means = np.asarray(means, dtype=np.float64)
+    covariances = np.asarray(covariances, dtype=np.float64)
+    v = principal_axes(covariances)  # [T, n], arbitrary per-frame signs
+    if len(means) > 1:
+        A = transport_matrices(covariances)  # [T-1, n, n]
+        # Transporting the tip μ_t + s_t v_t lands at μ_{t+1} + s_t A_t v_t;
+        # it is nearer to μ_{t+1} + v_{t+1} than to the negation iff
+        # ⟨A_t v_t, v_{t+1}⟩ ≥ 0 (ties keep +, like the reference).
+        agree = np.einsum("tij,tj,ti->t", A, v[:-1], v[1:])
+        c = np.where(agree >= 0.0, 1.0, -1.0)
+        s = np.concatenate([[1.0], np.cumprod(c)])
+        v = v * s[:, None]
     # Correlate with the direction of motion; flip globally if negative.
-    displacements = np.diff(means, axis=0)
-    if np.sum(displacements * principal_axes[1:]) < 0:
-        principal_axes = -principal_axes
-
-    return principal_axes
+    if len(means) > 1 and np.sum(np.diff(means, axis=0) * v[1:]) < 0:
+        v = -v
+    return v
 
 
 def axes_to_yaw_angles(axes: np.ndarray) -> np.ndarray:

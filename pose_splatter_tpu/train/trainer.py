@@ -143,10 +143,18 @@ def train_from_config(
         print(f"Loaded checkpoint from epoch {epoch}.")
     elif not ablation:
         # Fresh start: near-identity U-Net init (train_script.py:356-361).
-        state = state._replace(
-            params=init_unet_primary_skip(state.params,
-                                          in_channels=model.in_channels)
-        )
+        params = init_unet_primary_skip(state.params,
+                                        in_channels=model.in_channels)
+        if model.gaussian_mode == "2d":
+            # Start means2d at the image center (documented deviation —
+            # removes the pixel-(0,0) escape transient of the raw-pixel
+            # 2D head, models/pose_splatter.init_means2d_center).
+            from pose_splatter_tpu.models.pose_splatter import (
+                init_means2d_center,
+            )
+
+            params = init_means2d_center(params, model.W, model.H)
+        state = state._replace(params=params)
 
     step_fn = make_train_step(model, tx, img_lambda=config.img_lambda,
                               ssim_lambda=config.ssim_lambda,

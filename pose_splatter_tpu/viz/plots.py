@@ -163,3 +163,62 @@ def plot_gaussian_scatter(g: dict, save_path: str = "gaussians.pdf") -> str:
     plt.savefig(save_path)
     plt.close("all")
     return save_path
+
+
+def plot_ellipses(means: np.ndarray, covariances: np.ndarray,
+                  save_path: str = "ellipses.pdf") -> str:
+    """Per-frame body-Gaussian trajectory diagnostic: the xy projection of
+    each frame's (mean, covariance) drawn as a 1-sigma ellipse with its
+    tracked principal axis as an arrow, colored by frame index.
+
+    Behavior parity with the reference diagnostic
+    (``/root/reference/src/plots.py:259-312``); reimplemented with one
+    batched ``eigh`` over all frames instead of a per-frame loop.
+
+    means [T, 3]; covariances [T, 3, 3].
+    """
+    from matplotlib.colors import Normalize
+    from matplotlib.patches import Ellipse
+
+    from pose_splatter_tpu.tracking import track_principal_axes
+
+    means = np.asarray(means)
+    covariances = np.asarray(covariances)
+    T = len(means)
+    axes2d = track_principal_axes(means, covariances)[:, :2]
+    xy = means[:, :2]
+    cov2d = covariances[:, :2, :2]
+
+    evals, evecs = np.linalg.eigh(cov2d)  # [T, 2] asc, [T, 2, 2]
+    # Ellipse orientation from the major (last) eigenvector; width/height
+    # are the 1-sigma diameters along minor/major.
+    major = evecs[:, :, -1]
+    angles_deg = np.degrees(np.arctan2(major[:, 1], major[:, 0]))
+    diam = 2.0 * np.sqrt(np.maximum(evals, 0.0))  # [T, 2] (minor, major)
+    arrow = axes2d * (0.8 * np.sqrt(evals[:, -1:]))
+
+    plt = _plt()
+    cmap = plt.get_cmap("viridis")
+    norm = Normalize(vmin=0, vmax=T)
+    _, ax = plt.subplots(figsize=(8, 6))
+    for i in range(T):
+        ax.add_patch(Ellipse(
+            xy=xy[i], width=diam[i, 1], height=diam[i, 0],
+            angle=float(angles_deg[i]), edgecolor="black",
+            facecolor=cmap(norm(i)), alpha=0.7))
+        ax.arrow(xy[i, 0], xy[i, 1], arrow[i, 0], arrow[i, 1], color="k")
+    ax.set_xlabel("X-axis")
+    ax.set_ylabel("Y-axis")
+    ax.set_aspect("equal")
+
+    stds = np.sqrt(np.maximum(cov2d[:, [0, 1], [0, 1]], 0.0))  # [T, 2]
+    lo = (xy - 2 * stds).min(axis=0)
+    hi = (xy + 2 * stds).max(axis=0)
+    ax.set_xlim(lo[0], hi[0])
+    ax.set_ylim(lo[1], hi[1])
+    sm = plt.cm.ScalarMappable(cmap=cmap, norm=norm)
+    sm.set_array([])
+    plt.colorbar(sm, ax=ax, label="Gaussian Index")
+    plt.savefig(save_path)
+    plt.close("all")
+    return save_path

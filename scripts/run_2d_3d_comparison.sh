@@ -7,13 +7,21 @@ CFG3D=${1:?usage: run_2d_3d_comparison.sh <config_3d.json> <config_2d.json> [epo
 CFG2D=${2:?need a 2D config}
 EPOCHS=${3:-20}
 
+LOG3D=$(python -c "import json,sys;print(json.load(open('$CFG3D'))['project_directory'])")/train_3d.log
+LOG2D=$(python -c "import json,sys;print(json.load(open('$CFG2D'))['project_directory'])")/train_2d.log
+
 echo "=== 3D mode ==="
-python scripts/train.py "$CFG3D" --epochs "$EPOCHS"
+python scripts/train.py "$CFG3D" --epochs "$EPOCHS" 2>&1 | tee "$LOG3D"
 python scripts/evaluate.py "$CFG3D"
 
 echo "=== 2D mode ==="
-python scripts/train.py "$CFG2D" --epochs "$EPOCHS"
+python scripts/train.py "$CFG2D" --epochs "$EPOCHS" 2>&1 | tee "$LOG2D"
 python scripts/evaluate.py "$CFG2D"
+
+echo "=== convergence curves (analyze_results.py parity) ==="
+python scripts/analyze_convergence.py --log2d "$LOG2D" --log3d "$LOG3D" \
+  --plot "$(dirname "$LOG2D")/convergence_comparison.pdf" \
+  --out "$(dirname "$LOG2D")/convergence_summary.json"
 
 echo "=== comparison ==="
 python - "$CFG3D" "$CFG2D" <<'EOF'

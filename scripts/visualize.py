@@ -5,11 +5,15 @@ Usage:
     python scripts/visualize.py voxels <config.json> [--frame N]
     python scripts/visualize.py training <config.json>
     python scripts/visualize.py renders <config.json> [--num 5]
+    python scripts/visualize.py ellipses <config.json>
 
 Covers ``visualize_gaussian.py`` (matplotlib 3D scatter of exported npz),
 ``plot_voxels.py`` (carving-parameter tuning), ``visualize_training.py``
 (loss curves from checkpoint history), and ``visualize_renders.py``
-(GT-vs-render grids from the evaluation HDF5).
+(GT-vs-render grids from the evaluation HDF5); ``ellipses`` adds the
+reference's body-Gaussian trajectory diagnostic (``src/plots.py:259-312``):
+per-frame mean/covariance ellipses with tracked principal axes from
+center_rotation.npz.
 """
 
 import argparse
@@ -47,6 +51,19 @@ def cmd_voxels(args):
                       jnp.asarray(p_3d), jnp.float32(angle))
     out = os.path.join(config.project_directory, "voxels.pdf")
     print("Saved", plot_voxels(np.asarray(vol[0]), out))
+
+
+def cmd_ellipses(args):
+    from pose_splatter_tpu.viz.plots import plot_ellipses
+
+    config = Config(args.config)
+    d = np.load(config.center_rotation_fn)
+    if "covs" not in d:
+        raise SystemExit("center_rotation.npz has no 'covs' — rerun "
+                         "scripts/preprocess.py center_rotation")
+    n = min(len(d["centers"]), args.num)
+    out = os.path.join(config.project_directory, "ellipses.pdf")
+    print("Saved", plot_ellipses(d["centers"][:n], d["covs"][:n], out))
 
 
 def cmd_training(args):
@@ -108,6 +125,11 @@ def main():
     p = sub.add_parser("training")
     p.add_argument("config")
     p.set_defaults(fn=cmd_training)
+
+    p = sub.add_parser("ellipses")
+    p.add_argument("config")
+    p.add_argument("--num", type=int, default=200)
+    p.set_defaults(fn=cmd_ellipses)
 
     p = sub.add_parser("renders")
     p.add_argument("config")

@@ -140,3 +140,53 @@ class TestFrameDataset:
         img_fn, angle_fn, T, C, H, W = frame_files
         ds = FrameDataset(img_fn, angle_fn, C, split="all", max_frames=6)
         assert len(ds) == 6 * C
+
+
+class TestBaselineConfigs:
+    """Per-animal baseline configs (parity with
+    /root/reference/configs/baseline/: mouse/rat/finch/pigeon x 4/5/6
+    cameras) parse and pass div-16 volume validation."""
+
+    def test_all_baselines_valid(self):
+        import glob
+
+        fns = sorted(glob.glob(
+            os.path.join(os.path.dirname(__file__), "..", "configs",
+                         "baseline", "*.json")))
+        names = {os.path.basename(f) for f in fns}
+        expected = {f"{a}_{n}.json" for a, ns in
+                    (("mouse", (4, 5, 6)), ("rat", (4, 5, 6)),
+                     ("finch", (4, 5, 6)), ("pigeon", (4,))) for n in ns}
+        assert expected <= names, expected - names
+        for fn in fns:
+            cfg = Config(fn)
+            vidx = cfg.validated_volume_idx()
+            for (i1, i2) in vidx:
+                assert (i2 - i1) % 16 == 0
+            assert cfg.gaussian_mode in ("2d", "3d")
+            assert len(cfg.holdout_views) <= len(cfg.video_fns)
+
+
+class TestLogAnalysis:
+    def test_parse_and_compare(self, tmp_path):
+        from pose_splatter_tpu.utils.loganalysis import (
+            convergence_summary,
+            parse_training_log,
+            plot_convergence_comparison,
+        )
+
+        log = tmp_path / "t.log"
+        log.write_text(
+            "junk line\n"
+            "epoch 1: iou=0.50000 ssim=0.10000 img=0.40000\n"
+            "  validation: 1.10000\n"
+            "epoch 2: iou=0.25000 ssim=0.05000 img=0.20000\n"
+            "  validation: 0.60000\n")
+        d = parse_training_log(str(log))
+        assert d["epochs"] == [1, 2]
+        assert d["losses"] == pytest.approx([1.0, 0.5])
+        assert d["validation"] == pytest.approx([1.1, 0.6])
+        s = convergence_summary(d, d)
+        assert s["2d"]["loss_reduction_pct"] == pytest.approx(50.0)
+        out = plot_convergence_comparison(d, d, str(tmp_path / "c.pdf"))
+        assert os.path.exists(out)

@@ -162,3 +162,119 @@ class TestTileSharding:
         g = jax.grad(loss)(opac)
         assert np.isfinite(np.asarray(g)).all()
         assert float(np.abs(np.asarray(g)).max()) > 0
+
+
+class TestScalingReport:
+    def test_spmd_efficiency_on_virtual_mesh(self):
+        """Weak-scaling harness (BASELINE.md: >=80% efficiency). On the
+        virtual CPU mesh all devices share physical cores, so the
+        meaningful figure is spmd_efficiency — one device stepping the
+        same global batch vs the n-device DP step (isolates partitioning
+        + collective overhead from host contention)."""
+        from pose_splatter_tpu.parallel import scaling_report
+
+        model, _ = _setup(1)
+        tx = optax.adam(1e-3)
+
+        def make(devices):
+            n = len(devices)
+            _, batch = _setup(n)
+            mesh = make_mesh((n,), ("data",), devices=devices)
+            step = make_sharded_train_step(
+                model, tx, img_lambda=0.5, ssim_lambda=0.0, mesh=mesh)
+            state = replicate_state(
+                create_train_state(model, jax.random.PRNGKey(0), tx), mesh)
+            return step, state, shard_batch(batch, mesh)
+
+        report = scaling_report(make, device_counts=[1, 8],
+                                spmd_baseline=True)
+        rows = {r["devices"]: r for r in report["rows"]}
+        assert rows[1]["steps_per_s"] > 0
+        assert rows[8]["spmd_efficiency"] >= 0.8, report
+
+
+class TestTileShardingProduction:
+    """Round-3 tile-sharding features (VERDICT r2 item 5): multi-camera,
+    tile-count padding (no divisibility asserts), and the full (data, tile)
+    2D-mesh train step."""
+
+    def _scene(self, n=60, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        means = jnp.asarray(rng.normal(0, 0.3, (n, 3)) + [0, 0, 2.0],
+                            jnp.float32)
+        quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.normal(-3.5, 0.3, (n, 3))),
+                             jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32)
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        return means, quats, scales, opac, colors
+
+    def test_multicamera_padded_tiles_match_reference(self):
+        """3 cameras, a 72-high image whose 9 tile rows do NOT divide the
+        8-device axis — padding must handle it and match rasterize."""
+        import jax.numpy as jnp
+        from pose_splatter_tpu.ops.rasterize import rasterize
+        from pose_splatter_tpu.parallel.tile_sharding import (
+            rasterize_tile_sharded,
+        )
+
+        means, quats, scales, opac, colors = self._scene()
+        Wd, Hd = 64, 72  # 9 rows of (8,64) tiles: not divisible by 8
+        K = jnp.array([[100.0, 0, 32.0], [0, 100.0, 36.0], [0, 0, 1]])
+        Ks = jnp.stack([K] * 3)
+        views = jnp.stack([jnp.eye(4)] * 3)
+        views = views.at[1, 0, 3].set(0.05).at[2, 1, 3].set(-0.05)
+
+        mesh = make_mesh(axis_names=("tile",))
+        rgb_s, alpha_s = rasterize_tile_sharded(
+            means, quats, scales, opac, colors, views, Ks, Wd, Hd, mesh,
+            tile_shape=(8, 64), tile_capacity=64, backgrounds=jnp.ones(3))
+        rgb_r, alpha_r = rasterize(
+            means, quats, scales, opac, colors, views, Ks, Wd, Hd,
+            mode="tiled", tile_shape=(8, 64), tile_capacity=64,
+            backgrounds=jnp.ones(3))
+        assert rgb_s.shape == (3, Hd, Wd, 3)
+        np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha_s), np.asarray(alpha_r),
+                                   atol=1e-5)
+
+    def test_data_tile_mesh_train_step(self):
+        """End-to-end (data, tile) train step: batch 2 over 'data' x 4-way
+        tile sharding; loss finite, params move, and the loss matches the
+        unsharded reference step's loss (same losses, same forward)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from pose_splatter_tpu.parallel.tile_sharding import (
+            make_tile_sharded_train_step,
+        )
+        from pose_splatter_tpu.train.loop import create_train_state
+
+        B = 2
+        model, batch = _setup(B)
+        mesh = make_mesh((2, 4), ("data", "tile"))
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), tx)
+
+        step = make_tile_sharded_train_step(
+            model, tx, img_lambda=0.5, ssim_lambda=0.1, mesh=mesh,
+            tile_shape=(8, 32), tile_capacity=64)
+        new_state, loss = step(state, batch)
+        assert np.isfinite(float(loss))
+        assert int(new_state.step) == 1
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(state.params),
+                            jax.tree.leaves(new_state.params)))
+        assert moved
+
+        # Reference: unsharded train step on the same batch (same loss
+        # composition: iou + img_lambda*l1 + ssim_lambda*(1-ssim)).
+        ref_step = make_train_step(model, tx, img_lambda=0.5,
+                                   ssim_lambda=0.1, donate=False)
+        _, ref_metrics = ref_step(state, batch)
+        assert float(loss) == pytest.approx(float(ref_metrics["total"]),
+                                            rel=2e-3)

@@ -114,3 +114,17 @@ class TestAAPCA:
         model.fit(X, Y)
         W = model.components_
         assert np.allclose(W.T @ W, np.eye(4), atol=1e-8)
+
+
+class TestPlotEllipses:
+    def test_writes_file(self, tmp_path):
+        from pose_splatter_tpu.viz.plots import plot_ellipses
+
+        rng = np.random.default_rng(0)
+        T = 12
+        means = np.cumsum(0.1 * rng.normal(size=(T, 3)), axis=0)
+        A = rng.normal(size=(T, 3, 3)) * 0.1
+        covs = A @ A.transpose(0, 2, 1) + 0.05 * np.eye(3)
+        out = plot_ellipses(means, covs, str(tmp_path / "e.pdf"))
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 0
