@@ -20,15 +20,16 @@ NDHWC layouts, where the reference permutes to [C', 3, H, W]; an optional
 The uint8→float conversion + mask extraction hot loop dispatches to the
 native C++ helper (``pose_splatter_tpu.data.native``) when built, else
 NumPy. ``FrameLoader`` adds shuffling, batching into the jitted train-step
-layout, and a background prefetch thread (the reference uses torch
-DataLoader workers; here IO is thread-parallel against HDF5/Zarr chunks).
+layout, and a ``workers``-thread prefetch pool (the reference uses torch
+DataLoader *processes*, train_script.py:276-278; threads suffice here
+because the decode is native/NumPy code that releases the GIL — Zarr chunk
+reads run concurrently, while h5py serializes under its global lock but
+still overlaps with decode).
 """
 
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -154,11 +155,15 @@ class FrameDataset:
 
 
 class FrameLoader:
-    """Shuffling, batching, and background prefetch.
+    """Shuffling, batching, and multi-threaded background prefetch.
 
     Yields batch dicts matching ``make_train_step``:
         mask [B,C',H,W], img [B,C',H,W,3], p_3d [B,3], angle [B],
         view_idx [B] int32, obs_idx [B] int32.
+
+    ``workers`` threads build batches concurrently (read + decode release
+    the GIL); up to ``prefetch + workers`` batches are in flight, yielded
+    in order.
     """
 
     def __init__(
@@ -170,6 +175,7 @@ class FrameLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         adaptive_fn=None,
+        workers: int = 4,
     ):
         """``adaptive_fn(mask [C',H,W]) -> (temp_K [C',3,3], seed [3])`` is
         the adaptive-camera host hook (``adjust_principal_points_to_seed``):
@@ -185,6 +191,7 @@ class FrameLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.adaptive_fn = adaptive_fn
+        self.workers = max(1, workers)
         self._rng = np.random.default_rng(seed)
         obs = list(dataset.observed_views)
         self._obs_pos = {v: i for i, v in enumerate(obs)}
@@ -193,11 +200,14 @@ class FrameLoader:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_batch(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, idxs: np.ndarray, view_choices: Optional[np.ndarray] = None
+    ) -> Dict[str, np.ndarray]:
         masks, imgs, p3ds, angles, views, obs = [], [], [], [], [], []
         k_masks, seeds = [], []
-        for i in idxs:
-            m, im, p, a, v = self.ds.get(int(i))
+        for j, i in enumerate(idxs):
+            v_pre = None if view_choices is None else int(view_choices[j])
+            m, im, p, a, v = self.ds.get(int(i), view_idx=v_pre)
             if self.adaptive_fn is not None:
                 temp_K, seed = self.adaptive_fn(m)
                 k_masks.append(np.asarray(temp_K, np.float32))
@@ -231,31 +241,39 @@ class FrameLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        # Pre-draw the per-sample view choices in iteration order so the
+        # thread pool cannot perturb determinism (dataset._rng is shared
+        # and not thread-safe).
+        views = [
+            self.ds._rng.choice(
+                self.ds.observed_views, size=len(b)
+            ).astype(np.int64)
+            if self.ds.split != "all" else None
+            for b in batches
+        ]
 
         if self.prefetch <= 0:
-            for b in batches:
-                yield self._make_batch(b)
+            for b, v in zip(batches, views):
+                yield self._make_batch(b, v)
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        def producer():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(b))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield item
-        finally:
-            stop.set()
+        n_workers = min(self.workers, max(1, n_batches))
+        window = self.prefetch + n_workers
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            futs: deque = deque()
+            next_i = 0
+            while next_i < n_batches and len(futs) < window:
+                futs.append(
+                    ex.submit(self._make_batch, batches[next_i],
+                              views[next_i]))
+                next_i += 1
+            while futs:
+                yield futs.popleft().result()
+                if next_i < n_batches:
+                    futs.append(
+                        ex.submit(self._make_batch, batches[next_i],
+                                  views[next_i]))
+                    next_i += 1
