@@ -81,6 +81,32 @@ def select_gaussians(
     return GaussianSelection(indices=idx, valid=valid, probs=probs, mask_threshold=mt)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows_unique(x, idx, n):
+    """``x[idx]`` for UNIQUE row indices with a scatter-SET adjoint.
+
+    XLA autodiff of a gather emits a scatter-ADD, which serializes on TPU;
+    top-k indices are unique, so the adjoint is a row scatter-set
+    (``unique_indices`` + dropped out-of-range rows) — ~constant-time at
+    the bench shape. ``n`` is the static row count of ``x``.
+    """
+    del n
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_rows_unique_fwd(x, idx, n):
+    return jnp.take(x, idx, axis=0), idx
+
+
+def _take_rows_unique_bwd(n, idx, g):
+    dx = jnp.zeros((n, g.shape[1]), g.dtype).at[idx].set(
+        g, mode="drop", unique_indices=True)
+    return dx, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+take_rows_unique.defvjp(_take_rows_unique_fwd, _take_rows_unique_bwd)
+
+
 class PoseSplatterNet(nn.Module):
     """Trainable parameters: U-Net stack, Gaussian MLP head, scale offset."""
 
@@ -140,7 +166,8 @@ class PoseSplatterNet(nn.Module):
         return flat, params
 
 
-def init_means2d_center(params, W: int, H: int, sigma_px: float = 2.0):
+def init_means2d_center(params, W: int, H: int, sigma_px: float = 2.0,
+                        anchored: bool = False):
     """2D-mode init aid: bias the Gaussian head so means2d start at the
     image center instead of pixel (0, 0), and set the shared log-scale to
     a visible pixel sigma.
@@ -153,11 +180,14 @@ def init_means2d_center(params, W: int, H: int, sigma_px: float = 2.0):
     Centering the start and initializing σ≈``sigma_px`` removes that
     transient without changing the learned optimum. Framework extension,
     documented deviation (docs/DESIGN.md §5)."""
-    head = dict(params["head2"])
-    b = head["bias"].at[0].set(W / 2.0).at[1].set(H / 2.0)
-    head["bias"] = b
     out = dict(params)
-    out["head2"] = head
+    if not anchored:
+        head = dict(params["head2"])
+        b = head["bias"].at[0].set(W / 2.0).at[1].set(H / 2.0)
+        head["bias"] = b
+        out["head2"] = head
+    # View-anchored mode starts at the voxel projection (delta ~ 0 from the
+    # default near-zero MLP init); only the sigma init applies.
     out["scale"] = jnp.full_like(params["scale"], math.log(sigma_px))
     return out
 
@@ -238,6 +268,21 @@ class PoseSplatter:
         self.voxel_size = ell / grid_size
         self.num_gaussian_params = 14 if gaussian_mode == "3d" else 9
         self.sigma_cutoff = float(self.gaussian_config.get("sigma_cutoff", 3.0))
+        # Framework extension (docs/DESIGN.md §5): the reference's 2D mode
+        # emits raw pixel coordinates and its renderer ignores the cameras
+        # entirely (``gaussian_renderer.py:227-228``), which makes
+        # multi-view training ill-posed — the same volume must hit
+        # view-dependent targets with a view-independent render.
+        # ``gaussian_config["view_anchored"]`` anchors each 2D Gaussian at
+        # the projection of its (pose-transformed) voxel center into the
+        # requested camera, with the MLP's means output acting as a pixel
+        # delta — exactly the reference's own 3D-head trick
+        # (``model.py:223``) applied in screen space. Default off
+        # (reference-faithful).
+        self.view_anchored_2d = (
+            bool(self.gaussian_config.get("view_anchored", False))
+            and gaussian_mode == "2d"
+        )
 
         self.net = PoseSplatterNet(
             in_channels=in_channels,
@@ -307,7 +352,11 @@ class PoseSplatter:
             self.mask_threshold,
             self.mask_threshold_delta,
         )
-        feats = vol_flat[:, sel.indices].T  # [max_n, out_ch]
+        # Row-gather in [N, ch] layout with a unique-index scatter-set VJP
+        # (the autodiff scatter-add of a [ch, N] column gather costs ~100 ms
+        # at the north-star shape; docs/PERF_r04.md).
+        volT = vol_flat.T  # [N, out_ch]
+        feats = take_rows_unique(volT, sel.indices, volT.shape[0])
         net_out = self.net.apply(variables, feats, method="gaussian_head")
 
         pt = self.prob_threshold
@@ -342,7 +391,7 @@ class PoseSplatter:
                 jax.nn.sigmoid(colors), self.color_clip[0], self.color_clip[1]
             )
             log_scales2d = scales2d + scale_param
-            return dict(
+            out = dict(
                 means2d=means2d,
                 log_scales2d=log_scales2d,
                 rotation=rotation[:, 0],
@@ -350,6 +399,12 @@ class PoseSplatter:
                 logit_opacities=logit_opac,
                 valid=sel.valid,
             )
+            if self.view_anchored_2d:
+                # means2d becomes a pixel DELTA from the per-view projection
+                # of the voxel center (see __init__ notes).
+                out["anchor_means"] = jnp.take(
+                    self.grid.reshape(-1, 3), sel.indices, axis=0)
+            return out
 
     # ------------------------------------------------------------------
     def apply_pose_transform_3d(self, g, angle, p_3d):
@@ -392,24 +447,47 @@ class PoseSplatter:
             )
             return out
         else:
-            out = rasterize_2d(
-                g["means2d"],
-                jnp.exp(g["log_scales2d"]),
-                g["rotation"],
-                jax.nn.sigmoid(g["logit_opacities"]),
-                g["colors"],
-                self.W,
-                self.H,
-                valid=g["valid"],
-                background=self.background_color,
-                sigma_cutoff=self.sigma_cutoff,
-                mode=self.render_mode,
-                tile_shape=self.tile_shape,
-                tile_capacity=self.tile_capacity,
-                return_overflow=return_overflow,
-            )
-            rgb, alpha = out[0], out[1]
             B = view_idx.shape[0]
+
+            def _r2d(means2d):
+                return rasterize_2d(
+                    means2d,
+                    jnp.exp(g["log_scales2d"]),
+                    g["rotation"],
+                    jax.nn.sigmoid(g["logit_opacities"]),
+                    g["colors"],
+                    self.W,
+                    self.H,
+                    valid=g["valid"],
+                    background=self.background_color,
+                    sigma_cutoff=self.sigma_cutoff,
+                    mode=self.render_mode,
+                    tile_shape=self.tile_shape,
+                    tile_capacity=self.tile_capacity,
+                    return_overflow=return_overflow,
+                )
+
+            if "anchor_means" in g:
+                # View-anchored extension: per-view projection + MLP delta.
+                from pose_splatter_tpu.utils.geometry import project_points
+
+                Ks = self.Ks if K_override is None else K_override
+                Ks_v = jnp.take(Ks, view_idx, axis=0)  # [B,3,3]
+                Es_v = jnp.take(self.viewmats, view_idx, axis=0)
+                pix = project_points(
+                    g["anchor_means"], Ks_v, Es_v, clamp_z=True)  # [B,N,2]
+                # Static unroll over views (B is 1 in training): vmap of the
+                # pallas compositor under the outer frame-batch vmap hits a
+                # remote-compile hang this unroll avoids (see
+                # rasterize_pallas._warm_kernels).
+                outs = [_r2d(pix[b] + g["means2d"]) for b in range(B)]
+                rgb = jnp.stack([o[0] for o in outs])
+                alpha = jnp.stack([o[1] for o in outs])
+                if return_overflow:
+                    return rgb, alpha, sum(o[2] for o in outs)
+                return rgb, alpha
+            out = _r2d(g["means2d"])
+            rgb, alpha = out[0], out[1]
             rgb = jnp.broadcast_to(rgb[None], (B, *rgb.shape))
             alpha = jnp.broadcast_to(alpha[None], (B, *alpha.shape))
             if return_overflow:
@@ -463,6 +541,12 @@ class PoseSplatter:
         g = self.gaussians_from_volume(variables, vol_flat, train=train)
         if self.gaussian_mode == "3d":
             g = self.apply_pose_transform_3d(g, angle, p_3d)
+        elif "anchor_means" in g:
+            # Anchored 2D: pose-transform the anchor positions only (the
+            # screen-space delta/scales/rotation stay as-is).
+            rot = yaw_rotation(angle)
+            g = dict(g)
+            g["anchor_means"] = g["anchor_means"] @ rot.T + p_3d
 
         # Adaptive camera: the per-frame temp_K (observed views) also drives
         # rendering (reference model.py:157-160). Scatter it into the full

@@ -50,7 +50,25 @@ class ConvBlock(nn.Module):
 
 
 def _max_pool3d(x):
-    return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+    """2x2x2 stride-2 max pool via reshape + reduce-max.
+
+    ``nn.max_pool`` lowers to reduce_window, whose VJP is XLA
+    SelectAndScatter — measured ~100 ms *per U-Net backward* at the
+    north-star volume on TPU v5e (docs/PERF_r04.md). Non-overlapping
+    pooling is a reshape + max over the 8 window taps, whose VJP is
+    elementwise compares. Tie gradients split among equal maxima instead
+    of torch's first-tap routing (reference ``unet_3d.py:96-100`` uses
+    MaxPool3d) — identical forward, measure-zero backward difference for
+    post-BN float activations.
+
+    One max per axis keeps every intermediate at rank ≤ 6 (a single
+    rank-8 reshape becomes rank 9 under the train step's frame-batch vmap,
+    exceeding the TPU XLA rank-8 limit).
+    """
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h, w, c).max(axis=2)
+    x = x.reshape(b, d // 2, h // 2, 2, w, c).max(axis=3)
+    return x.reshape(b, d // 2, h // 2, w // 2, 2, c).max(axis=4)
 
 
 class Unet3D(nn.Module):

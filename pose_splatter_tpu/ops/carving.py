@@ -147,13 +147,14 @@ def ray_cast_visibility_pair(
     Semantics identical to two :func:`ray_cast_visibility` calls.
     """
     N = dists.shape[1]
-    iota = jnp.arange(N, dtype=jnp.int32)
-    o1 = occ1.astype(jnp.int32)
-    o2 = occ2.astype(jnp.int32)
+    # Pack (voxel id, occ1, occ2) into ONE int32 payload (id < 2^29) so the
+    # lexsort carries 3 operands instead of 5 and the restore sort 2 instead
+    # of 3 — the sorts are bandwidth-bound, ~30% less carried data.
+    payload = (jnp.arange(N, dtype=jnp.int32) << 2
+               | occ1.astype(jnp.int32) << 1 | occ2.astype(jnp.int32))
 
     def per_cam(d, idx):
-        p_s, _, i_s, o1_s, o2_s = jax.lax.sort(
-            (idx, d, iota, o1, o2), num_keys=2)
+        p_s, _, pay_s = jax.lax.sort((idx, d, payload), num_keys=2)
         first = jnp.concatenate([jnp.ones((1,), bool), p_s[1:] != p_s[:-1]])
 
         def first_occupied(o):
@@ -162,10 +163,10 @@ def ray_cast_visibility_pair(
             seg_base = jax.lax.cummax(jnp.where(first, excl, -1))
             return (o > 0) & (excl == seg_base)
 
-        v1 = first_occupied(o1_s).astype(jnp.int32)
-        v2 = first_occupied(o2_s).astype(jnp.int32)
-        _, r1, r2 = jax.lax.sort((i_s, v1, v2), num_keys=1)
-        return r1.astype(bool), r2.astype(bool)
+        v1 = first_occupied((pay_s >> 1) & 1).astype(jnp.int32)
+        v2 = first_occupied(pay_s & 1).astype(jnp.int32)
+        _, vpack = jax.lax.sort((pay_s >> 2, v1 << 1 | v2), num_keys=1)
+        return (vpack >> 1).astype(bool), (vpack & 1).astype(bool)
 
     vis1, vis2 = jax.vmap(per_cam)(dists, flat)  # [C, N] each
     return vis1 & occ1[None, :], vis2 & occ2[None, :]

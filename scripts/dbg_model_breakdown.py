@@ -153,7 +153,7 @@ def full_loss(p):
     flat = model.net.apply(v, vol, False, method="process_volume")
     gs = model.gaussians_from_volume(v, flat)
     rgb, alpha = model.render(gs, jnp.zeros((1,), jnp.int32))
-    loss, _ = _total(rgb[0], alpha[0], img[0:1][0][None].repeat(1, 0)[0][None] * 0 + img[0][None], mask[0][None], 0.5, 0.1)
+    loss, _ = _total(rgb[0], alpha[0], img[0], mask[0], 0.5, 0.1)
     return loss
 
 

@@ -78,6 +78,31 @@ def make_scene(C, H, W, T=16, seed=0):
     return Ks, Es, frames, centers.astype(np.float32), angles.astype(np.float32)
 
 
+def build_model(C, H, W, grid, mode, crop=None, holdout=None,
+                min_n=512, max_n=8192, anchored=False):
+    """The benchmark PoseSplatter config (shared with temporal_benchmark)."""
+    if crop:
+        v = [int(x) for x in crop.split(",")]
+        volume_idx = [[v[0], v[1]], [v[2], v[3]], [v[4], v[5]]]
+    else:
+        volume_idx = [[0, grid], [0, grid], [0, grid]]
+    return PoseSplatter(
+        np.array([[[1.7 * max(W, H), 0, W / 2], [0, 1.7 * max(W, H), H / 2],
+                   [0, 0, 1]]] * C, np.float32),
+        np.stack([
+            camera_extrinsic_spherical(1.0, np.pi / 2.2 - 0.25 * (i % 2),
+                                       2 * np.pi * i / C)
+            for i in range(C)
+        ]).astype(np.float32),
+        W, H, ell=0.35, grid_size=grid, volume_idx=volume_idx,
+        holdout_views=[C - 1 if holdout is None else holdout],
+        gaussian_mode=mode,
+        gaussian_config={"view_anchored": True} if anchored else None,
+        render_mode="pallas" if jax.default_backend() == "tpu" else "tiled",
+        min_n=min_n, max_n=max_n,
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=300)
@@ -92,13 +117,21 @@ def main():
                         help="volume_idx as x0,x1,y0,y1,z0,z1 (div-16 dims; "
                         "the reference's production configs crop the grid, "
                         "e.g. a6000_2d.json grid 128 -> (96,80,64))")
+    parser.add_argument("--anchored", action="store_true",
+                        help="2D mode: view-anchored means (framework "
+                        "extension; the reference's raw-pixel 2D head is "
+                        "view-independent and cannot do multi-view training "
+                        "— docs/DESIGN.md §5)")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--save-state", default=None,
+                        help="pickle the trained params/batch_stats here "
+                        "(reused by scripts/temporal_benchmark.py)")
     args = parser.parse_args()
 
     C, H, W = args.cameras, args.height, args.width
     holdout = C - 1
-    print(f"Building synthetic scene: {C} cameras ({holdout} held out), "
-          f"{W}x{H}, grid {args.grid}", file=sys.stderr)
+    print(f"Building synthetic scene: {C} cameras (view {holdout} held "
+          f"out), {W}x{H}, grid {args.grid}", file=sys.stderr)
     Ks, Es, frames, centers, angles = make_scene(C, H, W, T=args.frames)
 
     imgs = frames.astype(np.float32) / 255.0
@@ -106,25 +139,15 @@ def main():
     obs = [i for i in range(C) if i != holdout]
 
     g = args.grid
-    if args.crop:
-        v = [int(x) for x in args.crop.split(",")]
-        volume_idx = [[v[0], v[1]], [v[2], v[3]], [v[4], v[5]]]
-    else:
-        volume_idx = [[0, g], [0, g], [0, g]]
-    model = PoseSplatter(
-        Ks, Es, W, H, ell=0.35, grid_size=g,
-        volume_idx=volume_idx,
-        holdout_views=[holdout], gaussian_mode=args.mode,
-        render_mode="pallas" if jax.default_backend() == "tpu" else "tiled",
-        min_n=512, max_n=8192,
-    )
+    model = build_model(C, H, W, g, args.mode, crop=args.crop,
+                        holdout=holdout, anchored=args.anchored)
     tx = optax.adam(args.lr)
     state = create_train_state(model, jax.random.PRNGKey(0), tx)
     params = init_unet_primary_skip(state.params)
     if args.mode == "2d":
         from pose_splatter_tpu.models.pose_splatter import init_means2d_center
 
-        params = init_means2d_center(params, W, H)
+        params = init_means2d_center(params, W, H, anchored=args.anchored)
     state = state._replace(params=params)
     step = make_train_step(model, tx, img_lambda=0.5, ssim_lambda=0.1)
 
@@ -148,7 +171,10 @@ def main():
     batches = {(t, view): {**frame_payload[t], **view_payload[view]}
                for t in range(T) for view in obs}
 
-    # Warm + train.
+    # Warm (compile) outside the timed window, then train. The step donates
+    # its input state, so the warmup must thread it like any other step.
+    state, warm_metrics = step(state, batches[(0, obs[0])])
+    jax.block_until_ready(warm_metrics)
     t_start = time.perf_counter()
     metrics = {}
     for i in range(args.steps):
@@ -164,6 +190,18 @@ def main():
 
     # Evaluate on the HELD-OUT view over all frames.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.save_state:
+        import pickle
+
+        with open(args.save_state, "wb") as f:
+            pickle.dump(dict(
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+                scene=dict(cameras=C, width=W, height=H, grid=g,
+                           mode=args.mode, frames=args.frames,
+                           crop=args.crop, anchored=args.anchored),
+            ), f)
 
     @jax.jit
     def eval_frame(variables, mask, img, p_3d, angle, target, tmask):
@@ -183,7 +221,8 @@ def main():
         ious.append(float(i))
 
     report = {
-        "config": f"{W}x{H} grid{g} {args.mode} C{C}",
+        "config": (f"{W}x{H} grid{g} {args.mode}"
+                   + ("-anchored" if args.anchored else "") + f" C{C}"),
         "steps": args.steps,
         "train_time_s": round(train_time, 2),
         "steps_per_s": round(args.steps / train_time, 2),

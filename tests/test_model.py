@@ -91,6 +91,42 @@ class TestForward:
         assert rgb.shape == (1, H, W, 3)
         assert alpha.shape == (1, H, W)
 
+    def test_2d_anchored_forward(self):
+        """View-anchored 2D extension: anchors are the pose-transformed
+        selected voxel centers; different views render different images
+        (the reference-faithful 2D mode is view-independent)."""
+        from pose_splatter_tpu.models.pose_splatter import init_means2d_center
+
+        model = _model(gaussian_mode="2d",
+                       gaussian_config={"view_anchored": True})
+        assert model.view_anchored_2d
+        variables = model.init(jax.random.PRNGKey(0))
+        variables = {
+            "params": init_means2d_center(
+                variables["params"], W, H, anchored=True),
+            "batch_stats": variables["batch_stats"],
+        }
+        masks, imgs = _inputs()
+        rgb, alpha, _ = model.forward(
+            variables, masks, imgs, jnp.zeros(3), 0.0,
+            jnp.asarray([0, 1]), train=False)
+        assert rgb.shape == (2, H, W, 3)
+        # Anchored renders are view-dependent.
+        assert float(jnp.abs(rgb[0] - rgb[1]).max()) > 1e-4
+
+        # Anchor positions equal the selected voxel centers under zero pose.
+        vol = model.carve(masks, imgs, jnp.zeros(3), 0.0)
+        flat = model.net.apply(
+            variables, jnp.transpose(vol, (1, 2, 3, 0))[None], False,
+            method="process_volume")
+        g = model.gaussians_from_volume(variables, flat)
+        assert g["anchor_means"].shape == (model.max_n, 3)
+        # Anchors = voxel centers of the top-k selected occupancy logits.
+        top = jax.lax.top_k(flat[0], model.max_n)[1]
+        expect = jnp.take(model.grid.reshape(-1, 3), top, axis=0)
+        np.testing.assert_allclose(np.asarray(g["anchor_means"]),
+                                   np.asarray(expect), rtol=0, atol=0)
+
     def test_head_param_count(self):
         """14 params/Gaussian in 3D, 9 in 2D (model.py:104-111,
         gaussian_renderer.py get_num_params)."""
