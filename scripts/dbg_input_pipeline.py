@@ -79,7 +79,7 @@ def main():
               file=sys.stderr)
 
         ds = FrameDataset(img_fn, ang_fn, C, holdout_views=[C - 1],
-                          split="all")
+                          split="train")
         loader = FrameLoader(ds, batch_size=1, shuffle=True,
                              workers=args.workers)
 

@@ -32,8 +32,18 @@ from pose_splatter_tpu.train.losses import iou_loss
 from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
 
 
-def make_scene(C, H, W, T=16, seed=0):
-    """Textured ellipsoid with per-frame pose; returns cameras + frames."""
+def make_scene(C, H, W, T=16, seed=0, radii=(0.10, 0.05, 0.04)):
+    """Textured ellipsoid with per-frame pose; returns cameras + frames.
+
+    ``radii`` sets the animal size in world units. NOTE the occupied-voxel
+    count it implies at the chosen grid: the adaptive threshold loop
+    (reference ``model.py:184-204``) degenerates when the strict-threshold
+    interior alone exceeds ``max_n`` — every selected voxel then sits at
+    probability ``pt`` + one sigmoid step, i.e. opacity ~0.01, and training
+    starts alpha-starved (the reference behaves identically; its real mouse
+    at grid 128 occupies ~1e4 voxels). Size the animal or ``max_n``
+    accordingly.
+    """
     rng = np.random.default_rng(seed)
     f = 1.7 * max(W, H)
     Ks = np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]] * C, np.float32)
@@ -47,7 +57,7 @@ def make_scene(C, H, W, T=16, seed=0):
     n_pts = 60000
     u = rng.normal(size=(n_pts, 3))
     u /= np.linalg.norm(u, axis=1, keepdims=True)
-    radii = np.array([0.10, 0.05, 0.04])
+    radii = np.asarray(radii, np.float64)
     pts0 = u * radii
     # Procedural texture: stripes + polka dots.
     tex = 0.5 + 0.4 * np.sin(60 * pts0[:, 0]) * np.cos(40 * pts0[:, 1])
@@ -117,6 +127,11 @@ def main():
                         help="volume_idx as x0,x1,y0,y1,z0,z1 (div-16 dims; "
                         "the reference's production configs crop the grid, "
                         "e.g. a6000_2d.json grid 128 -> (96,80,64))")
+    parser.add_argument("--radii", default="0.10,0.05,0.04",
+                        help="animal ellipsoid radii in world units (see "
+                        "make_scene docstring re: max_n)")
+    parser.add_argument("--min-n", type=int, default=512)
+    parser.add_argument("--max-n", type=int, default=8192)
     parser.add_argument("--anchored", action="store_true",
                         help="2D mode: view-anchored means (framework "
                         "extension; the reference's raw-pixel 2D head is "
@@ -132,7 +147,9 @@ def main():
     holdout = C - 1
     print(f"Building synthetic scene: {C} cameras (view {holdout} held "
           f"out), {W}x{H}, grid {args.grid}", file=sys.stderr)
-    Ks, Es, frames, centers, angles = make_scene(C, H, W, T=args.frames)
+    radii = tuple(float(x) for x in args.radii.split(","))
+    Ks, Es, frames, centers, angles = make_scene(C, H, W, T=args.frames,
+                                                 radii=radii)
 
     imgs = frames.astype(np.float32) / 255.0
     masks = np.where(imgs[..., 0] == 1.0, 0.0, 1.0).astype(np.float32)
@@ -140,7 +157,8 @@ def main():
 
     g = args.grid
     model = build_model(C, H, W, g, args.mode, crop=args.crop,
-                        holdout=holdout, anchored=args.anchored)
+                        holdout=holdout, anchored=args.anchored,
+                        min_n=args.min_n, max_n=args.max_n)
     tx = optax.adam(args.lr)
     state = create_train_state(model, jax.random.PRNGKey(0), tx)
     params = init_unet_primary_skip(state.params)
@@ -200,7 +218,9 @@ def main():
                 batch_stats=jax.device_get(state.batch_stats),
                 scene=dict(cameras=C, width=W, height=H, grid=g,
                            mode=args.mode, frames=args.frames,
-                           crop=args.crop, anchored=args.anchored),
+                           crop=args.crop, anchored=args.anchored,
+                           radii=list(radii), min_n=args.min_n,
+                           max_n=args.max_n),
             ), f)
 
     @jax.jit

@@ -53,9 +53,12 @@ def main():
     holdout = C - 1
     print(f"Scene: {C} cameras, {W}x{H}, grid {g}, mode {sc['mode']}, "
           f"{sc['frames']} unique poses", file=sys.stderr)
-    Ks, Es, frames, centers, angles = make_scene(C, H, W, T=sc["frames"])
+    Ks, Es, frames, centers, angles = make_scene(
+        C, H, W, T=sc["frames"],
+        radii=tuple(sc.get("radii", (0.10, 0.05, 0.04))))
     model = build_model(C, H, W, g, sc["mode"], crop=sc["crop"],
-                        holdout=holdout, anchored=sc.get("anchored", False))
+                        holdout=holdout, anchored=sc.get("anchored", False),
+                        min_n=sc.get("min_n", 512), max_n=sc.get("max_n", 8192))
     variables = {"params": jax.device_put(saved["params"]),
                  "batch_stats": jax.device_put(saved["batch_stats"])}
 
