@@ -11,11 +11,15 @@ src/gaussian_renderer.py:269-427). ``--batch N`` renders N frames per
 dispatch (vmap) to amortize the host→device dispatch floor (~1-2 ms/call
 through the relay, docs/PERF_r03.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the reference's published per-batch
-renderer speed on the same 576x512 config — ~8 s/batch for its 2D renderer
-(docs/reports/CONFIGURATION_GUIDE.md:78; the CUDA gsplat path has no
-published per-frame figure) → 0.295 Mpix / 8 s ≈ 0.0369 Mpix/s.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"baseline"}. ``vs_baseline`` is measured against the reference's ONLY
+published per-batch renderer figure on the same 576x512 config — ~8 s/batch
+for its torch 2D renderer (docs/reports/CONFIGURATION_GUIDE.md:78) →
+0.295 Mpix / 8 s ≈ 0.0369 Mpix/s. The reference's production 3D path
+(gsplat CUDA) publishes no per-frame figure, so the ``baseline`` field
+names the comparator explicitly: a large ``vs_baseline`` is a statement
+about the reference's pathological torch 2D renderer, NOT about the
+CUDA-class competition.
 """
 
 import argparse
@@ -32,16 +36,21 @@ H, W = 512, 576
 N = 16000
 
 
-def _bench(fwd_bwd, args, iters=20):
+def _bench(fwd_bwd, args, iters=30, reps=4):
     # Warmup / compile (np.asarray forces a device→host sync; through the
-    # remote-TPU relay block_until_ready alone does not).
+    # remote-TPU relay block_until_ready alone does not). Steady-state
+    # throughput = best of `reps` timed batches: the relay adds ~ms-scale
+    # jitter spikes that a single batch can absorb entirely.
     g = fwd_bwd(*args)
     np.asarray(jax.tree_util.tree_leaves(g)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = fwd_bwd(*args)
-    np.asarray(jax.tree_util.tree_leaves(g)[0])
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g = fwd_bwd(*args)
+        np.asarray(jax.tree_util.tree_leaves(g)[0])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def run_3d(batch):
@@ -140,6 +149,11 @@ def main():
         "value": round(mpix_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 2),
+        "baseline": (
+            "reference torch 2D renderer, 0.0369 Mpix/s "
+            "(CONFIGURATION_GUIDE.md:78); its gsplat CUDA path publishes "
+            "no per-frame figure"
+        ),
     }))
 
 

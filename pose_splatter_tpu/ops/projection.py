@@ -66,11 +66,32 @@ def project_gaussians(
     """
     Rcw = viewmat[:3, :3]
     tcw = viewmat[:3, 3]
-    mean_c = means @ Rcw.T + tcw  # [N, 3]
-    depth = mean_c[:, 2]
+    wx, wy, wz = means[:, 0], means[:, 1], means[:, 2]
+    mcx = Rcw[0, 0] * wx + Rcw[0, 1] * wy + Rcw[0, 2] * wz + tcw[0]
+    mcy = Rcw[1, 0] * wx + Rcw[1, 1] * wy + Rcw[1, 2] * wz + tcw[1]
+    depth = Rcw[2, 0] * wx + Rcw[2, 1] * wy + Rcw[2, 2] * wz + tcw[2]
+    mean_c = jnp.stack([mcx, mcy, depth], -1)  # [N, 3]
 
-    cov3d = quat_scale_to_covar(quats, scales)  # [N,3,3]
-    cov_cam = jnp.einsum("ij,njk,lk->nil", Rcw, cov3d, Rcw)  # [N,3,3]
+    # Unrolled scalar-channel covariance chain. The einsum forms
+    # ("ij,njk,lk->nil" etc.) lower to batched dot_generals whose 3-wide
+    # contractions pad to MXU tiles — measured ~8x slower than the fused
+    # elementwise chain below at N=16k on TPU v5e (dbg round 5).
+    R = quat_to_rotmat(quat_normalize(quats))  # [N,3,3]
+    M = R * scales[..., None, :]  # R @ diag(s), [N,3,3]
+    # cam-frame factor A = Rcw @ M: rows combine with scalar Rcw coeffs
+    # (Rcw entries are [ ] scalars under the per-camera vmap, so each row
+    # is 3 scalar-broadcast multiply-adds — no dot_general).
+    m0, m1, m2 = M[:, 0], M[:, 1], M[:, 2]  # [N,3] rows of M
+    a0 = Rcw[0, 0] * m0 + Rcw[0, 1] * m1 + Rcw[0, 2] * m2
+    a1 = Rcw[1, 0] * m0 + Rcw[1, 1] * m1 + Rcw[1, 2] * m2
+    a2 = Rcw[2, 0] * m0 + Rcw[2, 1] * m1 + Rcw[2, 2] * m2
+    # cov_cam = A @ A^T (symmetric: 6 unique entries).
+    c00 = jnp.sum(a0 * a0, -1)
+    c01 = jnp.sum(a0 * a1, -1)
+    c02 = jnp.sum(a0 * a2, -1)
+    c11 = jnp.sum(a1 * a1, -1)
+    c12 = jnp.sum(a1 * a2, -1)
+    c22 = jnp.sum(a2 * a2, -1)
 
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -85,24 +106,17 @@ def project_gaussians(
 
     inv_z = 1.0 / safe_z
     inv_z2 = inv_z * inv_z
-    # J: [N, 2, 3] perspective Jacobian at the (clamped) mean.
+    # Perspective Jacobian components at the (clamped) mean
+    # (j01 = j10 = 0 — exploited below).
     j00 = fx * inv_z
     j02 = -fx * tx * inv_z2
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], -1),
-            jnp.stack([zeros, j11, j12], -1),
-        ],
-        -2,
-    )
 
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)  # [N,2,2]
-    a = cov2d[:, 0, 0] + eps2d
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + eps2d
+    # cov2d = J cov_cam J^T, unrolled with the J sparsity.
+    a = j00 * (j00 * c00 + 2.0 * j02 * c02) + j02 * j02 * c22 + eps2d
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + 2.0 * j12 * c12) + j12 * j12 * c22 + eps2d
     det = a * c - b * b
     safe_det = jnp.where(det <= 0, 1.0, det)
     conic = jnp.stack([c / safe_det, -b / safe_det, a / safe_det], -1)  # [N,3]

@@ -52,10 +52,12 @@ STOP_T = 1e-4
 # Default tile shapes: VPU-aligned (sublane x lane) pixel blocks. The
 # Pallas kernel prefers smaller tiles (finer empty-tile skipping, smaller
 # [chunk, pixels] temporaries) and a larger Gaussian chunk (fewer
-# dynamic-trip steps); both swept on real TPU at the 576x512/16k-Gaussian
-# bench shape (chunk 64 + 16x128 beat 32 + 32x128 by 1.25x).
+# dynamic-trip steps); swept on real TPU at the 576x512/16k-Gaussian
+# bench shape each round (r5: 8x128 + chunk 64 beat 16x128 + 64 by ~9%
+# fwd+bwd — the per-instance pixel footprint halves while instance
+# duplication grows only ~15%).
 DEFAULT_TILE = (64, 128)
-DEFAULT_TILE_PALLAS = (16, 128)
+DEFAULT_TILE_PALLAS = (8, 128)
 DEFAULT_CHUNK = 32
 DEFAULT_CHUNK_PALLAS = 64
 
@@ -612,7 +614,14 @@ def rasterize(
         packed = jnp.concatenate(
             [packed, jnp.zeros(packed.shape[:-1] + (FS - packed.shape[-1],),
                                packed.dtype)], axis=-1)
-        packed = jax.vmap(permute_rows)(packed, order)
+        # Flatten the camera batch into the row axis: ONE lane-aligned row
+        # permutation instead of a vmapped take (whose batched-gather
+        # lowering measured ~4x slower at the bench shape, r5).
+        flat_order = (order
+                      + (jnp.arange(B, dtype=order.dtype) * N)[:, None]
+                      ).reshape(-1)
+        packed = permute_rows(
+            packed.reshape(B * N, FS), flat_order).reshape(B, N, FS)
         mean2d = packed[..., 0:2]
         rad = packed[..., 10]
         ok_s = jnp.take_along_axis(ok, order, axis=1)

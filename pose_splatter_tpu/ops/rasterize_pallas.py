@@ -34,16 +34,20 @@ intersection count is only 46k). v2 is the gsplat binning design
    gather + scatter-add (the adjoint of the instance gather, handled by
    XLA autodiff in ``rasterize.py``).
 
-4. **Two-sweep backward, no stored residuals.** The gradient of alpha i
-   needs the suffix sum S_i = sum_{k>i} w_k*contrib_k. Instead of storing
-   per-chunk entry transmittances (whose [1, P] row DMAs violate Mosaic's
-   8-sublane slice alignment) the backward walks each tile's chunks
-   FORWARD twice, recomputing transmittance exactly as the forward did
-   (bit-identical — no division, so none of gsplat's T-reconstruction
-   underflow past the stop point): sweep 1 accumulates the total
-   sum w*contrib, sweep 2 carries the inclusive prefix and emits
-   S_i = total - prefix_i. Only the early-stop chunk index crosses from
-   forward to backward.
+4. **Single-sweep reverse backward with stored chunk-entry
+   transmittance.** The gradient of alpha i needs the suffix sum
+   S_i = sum_{k>i} w_k*contrib_k, which a back-to-front walk accumulates
+   naturally — IF the entry transmittance of every chunk is known. The
+   forward kernel therefore stages each chunk's entry T (the [1, P]
+   per-pixel carry) into row 0 of an [8, P] VMEM block and DMAs it to a
+   per-chunk HBM slot (8-sublane padding satisfies Mosaic's DMA slice
+   alignment, which rejects bare [1, P] rows; the 7 pad rows cost HBM
+   capacity, not meaningful bandwidth). The backward then walks the
+   tile's chunks ONCE in reverse, recomputing alphas/transmittance from
+   the stored entry T (bit-identical to the forward — no division, so
+   none of gsplat's T-reconstruction underflow past the stop point)
+   while carrying the running suffix. This replaced a two-forward-sweep
+   design (round 4) and cut the backward kernel ~40%.
 
 The math is identical to the XLA path (``rasterize.py``): same cumprod
 transmittance, same gsplat clamp/skip/early-stop semantics, same
@@ -82,7 +86,11 @@ FS = 128
 
 # Max tiles a single Gaussian may be duplicated into. Spans beyond this are
 # truncated and COUNTED (returned to the caller — no silent truncation).
-DEFAULT_EXPAND = 16
+# 8 covers a 3-sigma radius of ~14 px at the default (8, 128) tiles
+# (2 columns x 4 rows); the binning slot-extraction loop and the slot
+# scatter both scale linearly with it, so keep it tight — the overflow
+# counter (training asserts it stays 0) catches scenes that out-span it.
+DEFAULT_EXPAND = 8
 
 
 # ----------------------------------------------------------------------------
@@ -97,15 +105,24 @@ def _excl_cumsum_mxu(oh):
 
     A strictly-lower-triangular [B, B] matmul gives each block's exclusive
     within-block prefix on the MXU; a tiny [nb, T] cumsum stitches blocks.
-    Exact for integer-valued inputs (counts ≤ N << 2^24). Orders of
-    magnitude faster than XLA's reduce-window cumsum at N ~ 10^4.
+    The matmul operands are bf16 (values are exactly 0/1 so products are
+    exact; accumulation is forced f32, and within-block sums ≤ B=256 are
+    exactly representable) — halves the one-hot HBM traffic, which
+    dominates this stage. Orders of magnitude faster than XLA's
+    reduce-window cumsum at N ~ 10^4.
     """
     N, T = oh.shape
     B = _SCAN_BLOCK
     nb = -(-N // B)
     ohp = jnp.pad(oh, ((0, nb * B - N), (0, 0))).reshape(nb, B, T)
-    lower = jnp.asarray(np.tril(np.ones((B, B), np.float32), -1))
-    within = jnp.matmul(lower, ohp)  # [nb, B, T] exclusive within block
+    ohp16 = ohp.astype(jnp.bfloat16)
+    lower = jnp.asarray(np.tril(np.ones((B, B), np.float16), -1),
+                        jnp.bfloat16)
+    within = jax.lax.dot_general(
+        lower, ohp16,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)  # [nb, B, T] exclusive within block, exact f32
     bsums = ohp.sum(axis=1)  # [nb, T]
     bexcl = jnp.cumsum(bsums, axis=0) - bsums
     excl = (bexcl[:, None, :] + within).reshape(nb * B, T)[:N]
@@ -358,25 +375,33 @@ def _chunk_alpha(mode, f, xs, ys, rowmask):
         return a, (dx, dy, u, v, e, sx2, sy2, rowmask)
 
 
-def _cumprod0(x):
-    """Inclusive cumprod along axis 0 via a Hillis-Steele doubling scan
-    (Mosaic has no cumprod lowering; log2(G) shift+multiply rounds)."""
-    g = x.shape[0]
-    d = 1
-    while d < g:
-        shifted = jnp.concatenate([jnp.ones_like(x[:d]), x[:-d]], axis=0)
-        x = x * shifted
-        d *= 2
-    return x
-
-
 def _cumsum0(x):
-    """Inclusive cumsum along axis 0 (doubling scan)."""
+    """Inclusive cumsum along axis 0 (doubling scan). A triangular-matmul
+    variant is NOT usable here: the v5e MXU runs f32 matmuls as bf16
+    multi-pass decompositions, which costs ~3 decimal digits in the
+    suffix sums (measured 3e-3 grad error in round 5)."""
     g = x.shape[0]
     d = 1
     while d < g:
         shifted = jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
         x = x + shifted
+        d *= 2
+    return x
+
+
+def _cumprod0(x):
+    """Inclusive cumprod along axis 0 via a Hillis-Steele doubling scan
+    (Mosaic has no cumprod lowering; log2(G) shift+multiply rounds).
+    A log-space MXU matmul variant was measured ~15% faster in round 5
+    but the TPU's approximate log/exp compound to ~1e-3 absolute error
+    over 64-term products — outside the 1e-5 parity budget — so the
+    exact scan stays.
+    """
+    g = x.shape[0]
+    d = 1
+    while d < g:
+        shifted = jnp.concatenate([jnp.ones_like(x[:d]), x[:-d]], axis=0)
+        x = x * shifted
         d *= 2
     return x
 
@@ -397,9 +422,10 @@ def _rowmask(G, count, j):
 # ----------------------------------------------------------------------------
 
 def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
-                rgb_ref, alpha_ref, jstop_ref,
-                buf_ref, acc_ref, t_ref, in_sem,
-                *, mode, G, P, th, tw, early_stop, pixel_offset):
+                rgb_ref, alpha_ref, jstop_ref, tb_ref,
+                buf_ref, acc_ref, t_ref, tb_stage, in_sem, tb_sem,
+                *, mode, G, P, th, tw, early_stop, pixel_offset,
+                save_tbounds):
     t = pl.program_id(0)
     start = astarts_ref[t]
     count = counts_ref[t]
@@ -413,6 +439,10 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
     def in_dma(slot, j):
         return pltpu.make_async_copy(
             inst_ref.at[cbase + j], buf_ref.at[slot], in_sem.at[slot])
+
+    def tb_dma(slot, j):
+        return pltpu.make_async_copy(
+            tb_stage.at[slot], tb_ref.at[cbase + j], tb_sem.at[slot])
 
     @pl.when(n_steps > 0)
     def _():
@@ -429,6 +459,16 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
         f = buf_ref[slot]  # [G, F]
         a, _aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
         T_in = t_ref[...]
+        if save_tbounds:
+            # Stage this chunk's ENTRY transmittance for the reverse-walk
+            # backward (row 0 of an 8-sublane block; rows 1-7 are DMA
+            # alignment padding).
+            @pl.when(j >= 2)
+            def _():
+                tb_dma(slot, j - 2).wait()
+
+            tb_stage[slot, 0:1, :] = T_in
+            tb_dma(slot, j).start()
         excl, cp = _excl_cumprod_rows(1.0 - a)
         T = T_in * excl  # [G, P]
         if early_stop:
@@ -466,6 +506,15 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
     def _():
         in_dma(jax.lax.rem(j_stop, 2), j_stop).wait()
 
+    if save_tbounds:
+        @pl.when(j_stop >= 1)
+        def _():
+            tb_dma(jax.lax.rem(j_stop - 1, 2), j_stop - 1).wait()
+
+        @pl.when(j_stop >= 2)
+        def _():
+            tb_dma(jax.lax.rem(j_stop, 2), j_stop - 2).wait()
+
     rgb_ref[0, :, :] = acc_ref[0:3, :]
     alpha_ref[0, :, :] = acc_ref[3:4, :]
     jstop_ref[0, 0, :] = jnp.full((128,), j_stop, jnp.int32)
@@ -476,10 +525,10 @@ def _fwd_kernel(astarts_ref, counts_ref, origins_ref, inst_ref,
 # ----------------------------------------------------------------------------
 
 def _bwd_kernel(astarts_ref, counts_ref, origins_ref, jstop_ref,
-                inst_ref, grgb_ref, galpha_ref, dinit_ref,
+                inst_ref, tb_ref, grgb_ref, galpha_ref, dinit_ref,
                 dinst_ref,
-                buf_ref, gbuf_ref, tot_ref, t_ref,
-                in_sem, gw_sem,
+                buf_ref, gbuf_ref, tbbuf_ref, sfx_ref,
+                in_sem, tb_sem, gw_sem,
                 *, mode, G, P, th, tw, early_stop, pixel_offset):
     del dinit_ref  # aliased zeros: unwalked chunks keep their init
     t = pl.program_id(0)
@@ -493,75 +542,49 @@ def _bwd_kernel(astarts_ref, counts_ref, origins_ref, jstop_ref,
         return pltpu.make_async_copy(
             inst_ref.at[cbase + j], buf_ref.at[slot], in_sem.at[slot])
 
+    def tb_dma(slot, j):
+        return pltpu.make_async_copy(
+            tb_ref.at[cbase + j], tbbuf_ref.at[slot], tb_sem.at[slot])
+
     def gw_dma(slot, j):
         return pltpu.make_async_copy(
             gbuf_ref.at[slot], dinst_ref.at[cbase + j], gw_sem.at[slot])
 
     # Chunks the forward never walked keep zero gradients: the output
     # buffer aliases an all-zero input (input_output_aliases), so only
-    # walked chunks are written. (A previous revision DMA'd zero chunks
-    # from VMEM in a third walk — pure overhead.)
+    # walked chunks are written.
 
     g_r = grgb_ref[0, 0:1, :]
     g_g = grgb_ref[0, 1:2, :]
     g_b = grgb_ref[0, 2:3, :]
     g_a = galpha_ref[0, 0:1, :]
 
-    # Sweep 1: forward walk recomputing transmittance (bit-identical to
-    # the forward kernel) and accumulating  total = Σ_i w_i·contrib_i.
-    tot_ref[...] = jnp.zeros((1, P), jnp.float32)
-    t_ref[...] = jnp.ones((1, P), jnp.float32)
+    # Single REVERSE sweep over the walked chunks. The suffix sum
+    # S_i = Σ_{k>i} w_k·contrib_k accumulates naturally back-to-front;
+    # each chunk's entry transmittance was stored by the forward
+    # (bit-identical recompute — no division/underflow).
+    sfx_ref[...] = jnp.zeros((1, P), jnp.float32)
 
     @pl.when(j_stop > 0)
     def _():
-        in_dma(0, 0).start()
+        in_dma(0, j_stop - 1).start()
+        tb_dma(0, j_stop - 1).start()
 
-    def sweep1(j, _):
-        slot = jax.lax.rem(j, 2)
+    def sweep(jj, _):
+        j = j_stop - 1 - jj  # reverse chunk order
+        slot = jax.lax.rem(jj, 2)
 
-        @pl.when(j + 1 < j_stop)
+        @pl.when(jj + 1 < j_stop)
         def _():
-            in_dma(1 - slot, j + 1).start()
+            in_dma(1 - slot, j - 1).start()
+            tb_dma(1 - slot, j - 1).start()
 
         in_dma(slot, j).wait()
+        tb_dma(slot, j).wait()
         f = buf_ref[slot]  # [G, F]
-        a, _aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
-        excl, cp = _excl_cumprod_rows(1.0 - a)
-        T = t_ref[...] * excl
-        if early_stop:
-            keep = (T * (1.0 - a) >= STOP_T).astype(jnp.float32)
-        else:
-            keep = jnp.ones_like(a)
-        contrib = a * T * keep
-        w = (g_r * f[:, 7:8] + g_g * f[:, 8:9] + g_b * f[:, 9:10] + g_a)
-        tot_ref[...] += jnp.sum(w * contrib, axis=0, keepdims=True)
-        t_ref[...] *= cp[-1:]
-        return 0
-
-    jax.lax.fori_loop(0, j_stop, sweep1, 0)
-
-    # Sweep 2: forward walk again carrying the inclusive prefix; the
-    # strictly-later suffix for instance i is  S_i = total - prefix_i.
-    total = tot_ref[...]
-    t_ref[...] = jnp.ones((1, P), jnp.float32)
-    pfx = jnp.zeros((1, P), jnp.float32)
-
-    @pl.when(j_stop > 0)
-    def _():
-        in_dma(0, 0).start()
-
-    def sweep2(j, pfx):
-        slot = jax.lax.rem(j, 2)
-
-        @pl.when(j + 1 < j_stop)
-        def _():
-            in_dma(1 - slot, j + 1).start()
-
-        in_dma(slot, j).wait()
-        f = buf_ref[slot]  # [G, F]
+        T_in = tbbuf_ref[slot, 0:1, :]  # [1, P] entry transmittance
         a, aux = _chunk_alpha(mode, f, xs, ys, _rowmask(G, count, j))
         excl, cp = _excl_cumprod_rows(1.0 - a)
-        T_in = t_ref[...]
         T = T_in * excl
         if early_stop:
             keep = (T * (1.0 - a) >= STOP_T).astype(jnp.float32)
@@ -570,8 +593,10 @@ def _bwd_kernel(astarts_ref, counts_ref, origins_ref, jstop_ref,
         contrib = a * T * keep
         w = (g_r * f[:, 7:8] + g_g * f[:, 8:9] + g_b * f[:, 9:10] + g_a)
         wc = w * contrib  # [G, P]
-        incl = pfx + _cumsum0(wc)  # inclusive prefix through instance i
-        s_i = total - incl  # Σ_{k > i} w_k·contrib_k
+        # Within-chunk strict suffix + carry from later chunks.
+        tot = jnp.sum(wc, axis=0, keepdims=True)
+        incl = _cumsum0(wc)  # inclusive prefix through instance i
+        s_i = sfx_ref[...] + (tot - incl)  # Σ_{k > i} w_k·contrib_k
         da = w * T * keep - s_i / (1.0 - a)
 
         dcol_r = jnp.sum(g_r * contrib, axis=1, keepdims=True)
@@ -625,39 +650,45 @@ def _bwd_kernel(astarts_ref, counts_ref, origins_ref, jstop_ref,
                  jnp.zeros((G, FS - 10), jnp.float32)], axis=1)
 
         # Stage + write this chunk's gradients (rows are this tile's own).
-        @pl.when(j >= 2)
+        @pl.when(jj >= 2)
         def _():
-            gw_dma(slot, j - 2).wait()
+            gw_dma(slot, j + 2).wait()
 
         gbuf_ref[slot] = grads
         gw_dma(slot, j).start()
-        t_ref[...] = T_in * cp[-1:]
-        return incl[-1:]
+        sfx_ref[...] += tot
+        return 0
 
-    jax.lax.fori_loop(0, j_stop, sweep2, pfx)
+    jax.lax.fori_loop(0, j_stop, sweep, 0)
 
+    # Drain the last two gradient writes (reverse walk ends at chunk 0).
     @pl.when(j_stop >= 1)
     def _():
-        gw_dma(jax.lax.rem(j_stop - 1, 2), j_stop - 1).wait()
+        gw_dma(jax.lax.rem(j_stop - 1, 2), 0).wait()
 
     @pl.when(j_stop >= 2)
     def _():
-        gw_dma(jax.lax.rem(j_stop, 2), j_stop - 2).wait()
+        gw_dma(jax.lax.rem(j_stop, 2), 1).wait()
 
 # ----------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP.
 # ----------------------------------------------------------------------------
 
 def _forward_call(inst, astarts, counts, origins, *, mode, tile_shape,
-                  early_stop, pixel_offset, G):
-    """Returns (rgb [T,3,P], alpha [T,P], jstop [T]).
+                  early_stop, pixel_offset, G, save_tbounds=False):
+    """Returns (rgb [T,3,P], alpha [T,P], jstop [T], tbounds).
 
     ``inst`` is [n_chunks, G, FS] (chunked so HBM DMA slices stay tile-
-    aligned).
+    aligned). With ``save_tbounds`` each walked chunk's entry
+    transmittance is written to ``tbounds[chunk, 0, :]`` ([n_chunks, 8, P]
+    — 8-sublane padded for DMA alignment) for the reverse-walk backward;
+    without it a dummy [1, 8, P] array is returned untouched.
     """
     T_tiles = origins.shape[0]
     th, tw = tile_shape
     P = th * tw
+    n_chunks = inst.shape[0]
+    tb_chunks = n_chunks if save_tbounds else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T_tiles,),
@@ -666,33 +697,38 @@ def _forward_call(inst, astarts, counts, origins, *, mode, tile_shape,
             pl.BlockSpec((1, 3, P), lambda t, a, c, o: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, a, c, o: (t, 0, 0)),
             pl.BlockSpec((1, 1, 128), lambda t, a, c, o: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # tbounds (manual DMA)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, G, FS), jnp.float32),  # instance chunk buffers
             pltpu.VMEM((4, P), jnp.float32),      # rgb+alpha accumulator
             pltpu.VMEM((1, P), jnp.float32),      # transmittance state
+            pltpu.VMEM((2, 8, P), jnp.float32),   # tbound staging
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _fwd_kernel, mode=mode, G=G, P=P, th=th, tw=tw,
         early_stop=early_stop, pixel_offset=pixel_offset,
+        save_tbounds=save_tbounds,
     )
-    rgb, alpha, jstop = pl.pallas_call(
+    rgb, alpha, jstop, tbounds = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, 3, P), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T_tiles, 1, 128), jnp.int32),
+            jax.ShapeDtypeStruct((tb_chunks, 8, P), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(astarts, counts, origins, inst)
-    return rgb, alpha[:, 0, :], jstop[:, 0, 0]
+    return rgb, alpha[:, 0, :], jstop[:, 0, 0], tbounds
 
 
-def _backward_call(inst, astarts, counts, origins, jstop,
+def _backward_call(inst, tbounds, astarts, counts, origins, jstop,
                    g_rgb, g_alpha, *, mode, tile_shape, early_stop,
                    pixel_offset, G):
     n_chunks = inst.shape[0]
@@ -704,6 +740,7 @@ def _backward_call(inst, astarts, counts, origins, jstop,
         grid=(T_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # inst
+            pl.BlockSpec(memory_space=pl.ANY),  # tbounds
             pl.BlockSpec((1, 3, P), lambda t, a, c, o, j: (t, 0, 0)),
             pl.BlockSpec((1, 1, P), lambda t, a, c, o, j: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # dinst init (aliased)
@@ -712,8 +749,9 @@ def _backward_call(inst, astarts, counts, origins, jstop,
         scratch_shapes=[
             pltpu.VMEM((2, G, FS), jnp.float32),  # instance chunk buffers
             pltpu.VMEM((2, G, FS), jnp.float32),  # gradient staging
-            pltpu.VMEM((1, P), jnp.float32),      # total Σ w·contrib
-            pltpu.VMEM((1, P), jnp.float32),      # transmittance state
+            pltpu.VMEM((2, 8, P), jnp.float32),   # tbound chunk buffers
+            pltpu.VMEM((1, P), jnp.float32),      # suffix Σ w·contrib
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -729,7 +767,7 @@ def _backward_call(inst, astarts, counts, origins, jstop,
     # operands are ever added before it (inst at index 4 has the identical
     # shape/dtype, so a stale hardcoded index would silently alias the
     # wrong buffer).
-    operands = (astarts, counts, origins, jstop, inst,
+    operands = (astarts, counts, origins, jstop, inst, tbounds,
                 g_rgb, g_alpha[:, None, :], dinit)
     alias_idx = len(operands) - 1
     assert operands[alias_idx] is dinit
@@ -754,22 +792,23 @@ def _make_compositor(mode, tile_shape, early_stop, pixel_offset, G):
 
     @jax.custom_vjp
     def compose(inst, astarts, counts, origins):
-        rgb, alpha, _ = _forward_call(
+        rgb, alpha, _, _ = _forward_call(
             inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
             early_stop=early_stop, pixel_offset=pixel_offset, G=G)
         return rgb, alpha
 
     def fwd(inst, astarts, counts, origins):
-        rgb, alpha, jstop = _forward_call(
+        rgb, alpha, jstop, tbounds = _forward_call(
             inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
-            early_stop=early_stop, pixel_offset=pixel_offset, G=G)
-        return (rgb, alpha), (inst, astarts, counts, origins, jstop)
+            early_stop=early_stop, pixel_offset=pixel_offset, G=G,
+            save_tbounds=True)
+        return (rgb, alpha), (inst, tbounds, astarts, counts, origins, jstop)
 
     def bwd(res, g):
-        inst, astarts, counts, origins, jstop = res
+        inst, tbounds, astarts, counts, origins, jstop = res
         g_rgb, g_alpha = g
         dinst = _backward_call(
-            inst, astarts, counts, origins, jstop, g_rgb, g_alpha,
+            inst, tbounds, astarts, counts, origins, jstop, g_rgb, g_alpha,
             mode=mode, tile_shape=tile_shape, early_stop=early_stop,
             pixel_offset=pixel_offset, G=G)
         return (dinst,
@@ -826,11 +865,15 @@ def _warm_kernels(mcap, n_tiles, tile_shape, mode, early_stop, pixel_offset,
     astarts = jnp.zeros((n_tiles,), jnp.int32)
     counts = jnp.zeros((n_tiles,), jnp.int32)
     origins = jnp.zeros((n_tiles, 2), jnp.int32)
-    rgb, alpha, jstop = _forward_call(
+    _forward_call(
         inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
         early_stop=early_stop, pixel_offset=pixel_offset, G=G)
+    rgb, alpha, jstop, tbounds = _forward_call(
+        inst, astarts, counts, origins, mode=mode, tile_shape=tile_shape,
+        early_stop=early_stop, pixel_offset=pixel_offset, G=G,
+        save_tbounds=True)
     _backward_call(
-        inst, astarts, counts, origins, jstop, rgb, alpha,
+        inst, tbounds, astarts, counts, origins, jstop, rgb, alpha,
         mode=mode, tile_shape=tile_shape, early_stop=early_stop,
         pixel_offset=pixel_offset, G=G)
 
