@@ -228,6 +228,7 @@ class PoseSplatter:
         render_mode: str = "tiled",
         tile_shape: Optional[Tuple[int, int]] = None,
         tile_capacity: Optional[int] = None,
+        carve_visibility_cap: Optional[int] = None,
     ):
         assert volume_idx is not None, "volume_idx is required"
         assert gaussian_mode in ("2d", "3d")
@@ -249,6 +250,9 @@ class PoseSplatter:
         self.render_mode = render_mode
         self.tile_shape = tile_shape
         self.tile_capacity = tile_capacity
+        # Static cap for the carve's visibility compaction (ops/carving.py
+        # carve_volume docstring); None = exact full-N path.
+        self.carve_visibility_cap = carve_visibility_cap
 
         C = len(intrinsics)
         self.num_cameras = C
@@ -268,6 +272,13 @@ class PoseSplatter:
         self.voxel_size = ell / grid_size
         self.num_gaussian_params = 14 if gaussian_mode == "3d" else 9
         self.sigma_cutoff = float(self.gaussian_config.get("sigma_cutoff", 3.0))
+        # Max tiles one Gaussian may span in the pallas binning (overflow
+        # is counted, never silent). The library default (rasterize_pallas.
+        # DEFAULT_EXPAND) is sized for the benchmark's ~2-3 px sigmas;
+        # trained models can grow larger Gaussians, so production configs
+        # may need to raise it (gaussian_config["tile_expand"]).
+        te = self.gaussian_config.get("tile_expand")
+        self.tile_expand = int(te) if te is not None else None
         # Framework extension (docs/DESIGN.md §5): the reference's 2D mode
         # emits raw pixel coordinates and its renderer ignores the cameras
         # entirely (``gaussian_renderer.py:227-228``), which makes
@@ -336,6 +347,7 @@ class PoseSplatter:
             self.Ks_obs,
             self.viewmats_obs,
             volume_fill_color=self.volume_fill_color,
+            visibility_cap=self.carve_visibility_cap,
         )
 
     # ------------------------------------------------------------------
@@ -354,7 +366,9 @@ class PoseSplatter:
         )
         # Row-gather in [N, ch] layout with a unique-index scatter-set VJP
         # (the autodiff scatter-add of a [ch, N] column gather costs ~100 ms
-        # at the north-star shape; docs/PERF_r04.md).
+        # at the north-star shape; docs/PERF_r04.md). NOTE: only top_k
+        # indices (unique by construction) are valid here — the scatter-set
+        # adjoint silently drops contributions for duplicate rows.
         volT = vol_flat.T  # [N, out_ch]
         feats = take_rows_unique(volT, sel.indices, volT.shape[0])
         net_out = self.net.apply(variables, feats, method="gaussian_head")
@@ -443,6 +457,7 @@ class PoseSplatter:
                 mode=self.render_mode,
                 tile_shape=self.tile_shape,
                 tile_capacity=self.tile_capacity,
+                tile_expand=self.tile_expand,
                 return_overflow=return_overflow,
             )
             return out
@@ -464,6 +479,7 @@ class PoseSplatter:
                     mode=self.render_mode,
                     tile_shape=self.tile_shape,
                     tile_capacity=self.tile_capacity,
+                    tile_expand=self.tile_expand,
                     return_overflow=return_overflow,
                 )
 
@@ -598,6 +614,7 @@ class PoseSplatter:
             mode=self.render_mode,
             tile_shape=self.tile_shape,
             tile_capacity=self.tile_capacity,
+            tile_expand=self.tile_expand,
         )
         rgb = rgb + (1.0 - alpha[..., None]) * self.background_color
         return jnp.clip(rgb, 0.0, 1.0), alpha

@@ -150,6 +150,7 @@ def ray_cast_visibility_pair(
     # Pack (voxel id, occ1, occ2) into ONE int32 payload (id < 2^29) so the
     # lexsort carries 3 operands instead of 5 and the restore sort 2 instead
     # of 3 — the sorts are bandwidth-bound, ~30% less carried data.
+    assert N < (1 << 29), f"packed payload overflows int32 at N={N}"
     payload = (jnp.arange(N, dtype=jnp.int32) << 2
                | occ1.astype(jnp.int32) << 1 | occ2.astype(jnp.int32))
 
@@ -211,7 +212,25 @@ def shape_carve_mask(volume, C: int = 6, eps: float = 1e-2):
     return jnp.concatenate([binarized, volume[3:]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("volume_fill_color", "nonvisible_weight"))
+def compact_occupied(occ: jnp.ndarray, cap: int):
+    """Static-shape compaction of an occupancy mask.
+
+    Returns ``(comp [cap] int32, overflow [])``: ``comp[m]`` is the voxel id
+    of the m-th occupied voxel (first ``cap`` in voxel order; ``N`` marks
+    empty slots), ``overflow`` counts occupied voxels past the cap.
+    """
+    N = occ.shape[0]
+    occ_i = occ.astype(jnp.int32)
+    pos = jnp.cumsum(occ_i) - occ_i  # exclusive prefix
+    total = pos[-1] + occ_i[-1]
+    dest = jnp.where(occ & (pos < cap), pos, cap)  # cap = dropped slot
+    comp = jnp.full((cap,), N, jnp.int32).at[dest].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop", unique_indices=True)
+    return comp, jnp.maximum(total - cap, 0)
+
+
+@partial(jax.jit, static_argnames=("volume_fill_color", "nonvisible_weight",
+                                   "visibility_cap", "return_overflow"))
 def carve_volume(
     mask: jnp.ndarray,
     rgb: jnp.ndarray,
@@ -223,7 +242,9 @@ def carve_volume(
     extrinsics: jnp.ndarray,
     volume_fill_color: float = 0.45,
     nonvisible_weight: float = 0.25,
-) -> jnp.ndarray:
+    visibility_cap: Optional[int] = None,
+    return_overflow: bool = False,
+):
     """Full shape-carving forward.
 
     Args:
@@ -239,10 +260,20 @@ def carve_volume(
         K_color:[C, 3, 3] intrinsics used for colors/visibility (always the
                 original K; reference ``shape_carver.py:354``).
         extrinsics: [C, 4, 4].
+        visibility_cap: if set, the [C, N] visibility pair-sort — the carve's
+                second-hottest stage after the image gather (docs/PERF_r05) —
+                runs on a static-shape compaction of the occupied set
+                (occ2 ⊇ occ1) instead of all N voxels. Exact whenever the
+                occupied count fits the cap; voxels past it degrade to the
+                ``nonvisible_weight`` color average (counted in ``overflow``,
+                never silent). Production configs size this from the animal's
+                hull (~N/8); ``None`` keeps the exact full-N path.
+        return_overflow: also return the overflow count [] int32.
 
     Returns:
         volume [4, n1, n2, n3]: ch0 occupancy, ch1:4 RGB (empty voxels get
-        ``volume_fill_color``), averaged over the two carve thresholds.
+        ``volume_fill_color``), averaged over the two carve thresholds
+        (+ overflow if requested).
     """
     C = mask.shape[0]
     n1, n2, n3 = grid.shape[:3]
@@ -254,10 +285,11 @@ def carve_volume(
     # Threshold-independent work hoisted out of the two-threshold loop:
     # projections and image sampling depend only on geometry; only the
     # occupied sets change with the threshold. Gathers dominate the carve
-    # on TPU (~45 ms per [C,N] gather at grid 128 — dbg_carve_micro.py),
-    # so mask and RGB ride ONE fused 4-channel gather whenever they share
-    # intrinsics; adaptive-camera frames (K_mask = temp_K) keep the
-    # separate mask projection the reference uses (shape_carver.py:329-347).
+    # on TPU (~20 ms per fused [C,N] gather at the production crop —
+    # docs/PERF_r05), so mask and RGB ride ONE fused 4-channel gather
+    # whenever they share intrinsics; adaptive-camera frames (K_mask =
+    # temp_K) keep the separate mask projection the reference uses
+    # (shape_carver.py:329-347).
     imgH, imgW = rgb.shape[1], rgb.shape[2]
     pix = project_points(pts, K_color, extrinsics, clamp_z=True)  # [C,N,2]
     if K_mask is None:
@@ -272,21 +304,70 @@ def carve_volume(
             mask[..., None], pix_m)[..., 0].mean(axis=0)
 
     cam_pos = camera_positions(extrinsics)  # [C, 3]
-    dists = jnp.linalg.norm(pts[None] - cam_pos[:, None, :], axis=-1)
-    _, _, flat = _pixel_indices(pix, imgH, imgW)  # [C, N]
 
     occ1 = mask_flat >= 1.0
     occ2 = mask_flat >= (C - 1.0) / C
-    vis1, vis2 = ray_cast_visibility_pair(dists, flat, occ1, occ2)
+    overflow = jnp.zeros((), jnp.int32)
 
-    out = jnp.zeros((4, N), dtype=jnp.float32)
-    for occupied, visible in ((occ1, vis1), (occ2, vis2)):
-        weights = jnp.where(visible, 1.0, nonvisible_weight)
-        weights = weights / jnp.clip(weights.sum(axis=0, keepdims=True), 1e-8)
-        colors = jnp.einsum("cn,cnk->nk", weights, sampled)  # [N, 3]
-        occ_f = occupied.astype(jnp.float32)
-        vol_rgb = jnp.where(occupied[:, None], colors, volume_fill_color)  # [N,3]
-        volume = jnp.concatenate([occ_f[None, :], vol_rgb.T], axis=0)  # [4, N]
-        out = out + volume / 2.0
+    if visibility_cap is None or visibility_cap >= N:
+        dists = jnp.linalg.norm(pts[None] - cam_pos[:, None, :], axis=-1)
+        _, _, flat = _pixel_indices(pix, imgH, imgW)  # [C, N]
+        vis1, vis2 = ray_cast_visibility_pair(dists, flat, occ1, occ2)
 
-    return out.reshape(4, n1, n2, n3)
+        out = jnp.zeros((4, N), dtype=jnp.float32)
+        for occupied, visible in ((occ1, vis1), (occ2, vis2)):
+            weights = jnp.where(visible, 1.0, nonvisible_weight)
+            weights = weights / jnp.clip(
+                weights.sum(axis=0, keepdims=True), 1e-8)
+            colors = jnp.einsum("cn,cnk->nk", weights, sampled)  # [N, 3]
+            occ_f = occupied.astype(jnp.float32)
+            vol_rgb = jnp.where(occupied[:, None], colors, volume_fill_color)
+            volume = jnp.concatenate([occ_f[None, :], vol_rgb.T], axis=0)
+            out = out + volume / 2.0
+    else:
+        M = visibility_cap
+        comp, overflow = compact_occupied(occ2, M)
+        valid_c = comp < N
+        # One padded row gather pulls the compacted voxels' positions and
+        # their occ1 flags together (empty slots read the all-zero pad row).
+        aux = jnp.concatenate(
+            [pts, occ1[:, None].astype(jnp.float32)], axis=1)  # [N, 4]
+        aux = jnp.concatenate([aux, jnp.zeros((1, 4), aux.dtype)], axis=0)
+        aux_c = jnp.take(aux, jnp.minimum(comp, N), axis=0)  # [M, 4]
+        pts_c = aux_c[:, :3]
+        occ1_c = (aux_c[:, 3] > 0.5) & valid_c
+
+        pix_c = project_points(pts_c, K_color, extrinsics, clamp_z=True)
+        dists_c = jnp.linalg.norm(
+            pts_c[None] - cam_pos[:, None, :], axis=-1)  # [C, M]
+        _, _, flat_c = _pixel_indices(pix_c, imgH, imgW)
+        vis1_c, vis2_c = ray_cast_visibility_pair(
+            dists_c, flat_c, occ1_c, valid_c)
+
+        # Compacted samples: [C, M, 3] row-gather from the full sample set.
+        samp_pad = jnp.concatenate(
+            [sampled, jnp.zeros((C, 1, 3), sampled.dtype)], axis=1)
+        sampled_c = jnp.take(samp_pad, jnp.minimum(comp, N), axis=1)
+
+        out = jnp.zeros((4, N), dtype=jnp.float32)
+        # Overflowed occupied voxels (and only those) fall back to the
+        # all-`nonvisible_weight` average — identical to being fully
+        # occluded; counted above.
+        base_colors = sampled.mean(axis=0)  # uniform weights normalize to 1/C
+        for occupied, visible_c in ((occ1, vis1_c), (occ2, vis2_c)):
+            weights = jnp.where(visible_c, 1.0, nonvisible_weight)
+            weights = weights / jnp.clip(
+                weights.sum(axis=0, keepdims=True), 1e-8)
+            colors_c = jnp.einsum("cm,cmk->mk", weights, sampled_c)  # [M,3]
+            colors = base_colors.at[
+                jnp.where(valid_c, comp, N)].set(
+                    colors_c, mode="drop", unique_indices=True)
+            occ_f = occupied.astype(jnp.float32)
+            vol_rgb = jnp.where(occupied[:, None], colors, volume_fill_color)
+            volume = jnp.concatenate([occ_f[None, :], vol_rgb.T], axis=0)
+            out = out + volume / 2.0
+
+    vol = out.reshape(4, n1, n2, n3)
+    if return_overflow:
+        return vol, overflow
+    return vol

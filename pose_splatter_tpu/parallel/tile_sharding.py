@@ -280,12 +280,30 @@ def make_tile_sharded_train_step(
             early = True
             offset = 0.5
         else:
+            means2d = g["means2d"]
+            if "anchor_means" in g:
+                # View-anchored 2D extension (models/pose_splatter.py):
+                # means2d is a pixel DELTA from the per-view projection of
+                # the pose-transformed voxel anchor. Mirror model.forward's
+                # anchor transform + model.render's projection here —
+                # without this the deltas composite near pixel (0, 0).
+                from pose_splatter_tpu.utils.geometry import (
+                    project_points, yaw_rotation,
+                )
+
+                rot = yaw_rotation(b["angle"])
+                anchors = g["anchor_means"] @ rot.T + b["p_3d"]
+                view = b["view_idx"]
+                pix = project_points(
+                    anchors, model.Ks[view][None], model.viewmats[view][None],
+                    clamp_z=True)[0]  # [N, 2]
+                means2d = pix + means2d
             sc = jnp.exp(g["log_scales2d"])
             radius = model.sigma_cutoff * jnp.maximum(sc[:, 0], sc[:, 1])
-            feats = (g["means2d"], sc, g["rotation"],
+            feats = (means2d, sc, g["rotation"],
                      jax.nn.sigmoid(g["logit_opacities"]))
             cols = g["colors"]
-            center, okk = g["means2d"], g["valid"]
+            center, okk = means2d, g["valid"]
             early = False
             offset = 0.0
         rgb_t, alpha_t = _composite_local(

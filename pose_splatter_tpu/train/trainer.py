@@ -70,6 +70,7 @@ def build_model(config: Config, ablation: bool = False,
         max_n=config.get("max_n", 16000),
         num_unets=config.get("num_unets", 3),
         base_filters=config.get("base_filters", 8),
+        carve_visibility_cap=config.get("carve_visibility_cap", None),
     )
 
 

@@ -80,6 +80,15 @@ def profile_model(model, variables, mask, img, p_3d, angle,
         g = model.gaussians_from_volume(v, f)
         if model.gaussian_mode == "3d":
             g = model.apply_pose_transform_3d(g, angle, p_3d)
+        elif "anchor_means" in g:
+            # Anchored-2D: pose-transform the anchors exactly as
+            # model.forward does before render (the per-view projection
+            # itself happens inside model.render).
+            from pose_splatter_tpu.utils.geometry import yaw_rotation
+
+            rot = yaw_rotation(angle)
+            g = dict(g)
+            g["anchor_means"] = g["anchor_means"] @ rot.T + p_3d
         return model.render(g, jnp.array([0]))
 
     render_j = jax.jit(render)

@@ -145,3 +145,43 @@ class TestCarveVolume:
             jnp.asarray(masks), jnp.asarray(rgb), jnp.asarray([0.2, 0.0, 0.0]), 0.9,
             grid, jnp.asarray(Ks), jnp.asarray(Ks), jnp.asarray(Es)))
         assert not np.allclose(v0, v1)
+
+
+class TestVisibilityCompaction:
+    """carve_volume(visibility_cap=...) — static compaction of the occupied
+    set for the visibility pair-sort (round-5 carve optimization)."""
+
+    def test_exact_when_cap_fits(self):
+        Ks, Es, masks, rgb = _scene()
+        grid = jnp.asarray(create_3d_grid(0.6, 8))
+        args = (jnp.asarray(masks), jnp.asarray(rgb), jnp.zeros(3), 0.0,
+                grid, None, jnp.asarray(Ks), jnp.asarray(Es))
+        ref = np.asarray(carve_volume(*args))
+        vol, ovf = carve_volume(*args, visibility_cap=384,
+                                return_overflow=True)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(vol), ref, atol=1e-6)
+
+    def test_overflow_counted_and_degrades_gracefully(self):
+        Ks, Es, masks, rgb = _scene()
+        grid = jnp.asarray(create_3d_grid(0.6, 8))
+        args = (jnp.asarray(masks), jnp.asarray(rgb), jnp.zeros(3), 0.0,
+                grid, None, jnp.asarray(Ks), jnp.asarray(Es))
+        ref = np.asarray(carve_volume(*args))
+        vol, ovf = carve_volume(*args, visibility_cap=16,
+                                return_overflow=True)
+        assert int(ovf) > 0
+        vol = np.asarray(vol)
+        # Occupancy channel is compaction-independent.
+        np.testing.assert_allclose(vol[0], ref[0], atol=1e-6)
+        # Colors stay in range and differ only on overflowed voxels.
+        assert np.isfinite(vol).all()
+
+    def test_cap_at_n_is_exact_path(self):
+        Ks, Es, masks, rgb = _scene()
+        grid = jnp.asarray(create_3d_grid(0.6, 8))
+        args = (jnp.asarray(masks), jnp.asarray(rgb), jnp.zeros(3), 0.0,
+                grid, None, jnp.asarray(Ks), jnp.asarray(Es))
+        ref = np.asarray(carve_volume(*args))
+        vol = carve_volume(*args, visibility_cap=8 * 8 * 8)
+        np.testing.assert_allclose(np.asarray(vol), ref, atol=1e-6)
