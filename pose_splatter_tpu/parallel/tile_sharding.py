@@ -53,11 +53,20 @@ from pose_splatter_tpu.ops.rasterize import (
 )
 
 
-def _padded_origins(height, width, tile_shape, n_dev):
-    """Tile origins padded with off-screen tiles to a multiple of n_dev."""
+def _padded_origins(height, width, tile_shape, n_dev, row_aligned=False):
+    """Tile origins padded with off-screen tiles to a multiple of n_dev.
+
+    ``row_aligned`` pads whole TILE ROWS instead (tile-row count to a
+    multiple of n_dev), so each device's shard is a contiguous horizontal
+    image band — required by the strip-halo SSIM.
+    """
     origins, n_ty, n_tx = _tile_grid(height, width, tile_shape)
     n_tiles = origins.shape[0]
-    pad = (-n_tiles) % n_dev
+    if row_aligned:
+        n_ty_pad = -(-n_ty // n_dev) * n_dev
+        pad = n_ty_pad * n_tx - n_tiles
+    else:
+        pad = (-n_tiles) % n_dev
     if pad:
         # Off-screen origins: no Gaussian's bbox reaches them, so they
         # composite pure background and are sliced off after reassembly.
@@ -218,6 +227,83 @@ def rasterize_tile_sharded(
 
 
 # ----------------------------------------------------------------------------
+# Strip-halo windowed SSIM (no full-image all_gather).
+# ----------------------------------------------------------------------------
+
+def _ssim_band_partial(pred_t, tgt_t, tile_axis, n_tx, th, tw, H, W,
+                       kernel_size=11, sigma=1.5, k1=0.01, k2=0.03,
+                       data_range=1.0):
+    """Per-device partial (sum, count) of the SSIM map over row-aligned
+    tile strips.
+
+    pred_t/tgt_t: [B, T_l, th*tw, 3] local strips forming a contiguous
+    horizontal image band (requires ``_padded_origins(row_aligned=True)``).
+    Each device evaluates exactly the SSIM window positions whose top row
+    lies in its band; the ``kernel_size-1`` halo rows come from the next
+    device via ONE ppermute, replacing the full-image all_gather of image
+    strips (which is O(H·W) per device — decisive at the grid-256 /
+    1152x1024 shape, round-3 weakness 5). The map values are identical to
+    :func:`pose_splatter_tpu.ops.ssim.ssim`'s VALID-conv map; callers
+    psum the partials over the tile axis and divide.
+    """
+    from pose_splatter_tpu.ops.ssim import _filter2d, _gaussian_kernel
+
+    B, T_l, P, ch = pred_t.shape
+    rows_l = T_l // n_tx
+    bh = rows_l * th
+    Wp = n_tx * tw
+    halo = kernel_size - 1
+
+    def band(x):
+        return (x.reshape(B, rows_l, n_tx, th, tw, ch)
+                .transpose(0, 1, 3, 2, 4, 5).reshape(B, bh, Wp, ch))
+
+    pb, tb = band(pred_t), band(tgt_t)
+    n_dev = jax.lax.psum(1, tile_axis)
+    idx = jax.lax.axis_index(tile_axis)
+    # Halo rows come from the following device(s); when a band is shorter
+    # than the halo (tiny test shapes) this takes a static number of hops.
+    # Devices past the end receive zeros — their positions are masked.
+    ext_p, ext_t = [pb], [tb]
+    got = 0
+    hop = 1
+    while got < halo:
+        take = min(bh, halo - got)
+        if n_dev > hop:
+            perm = [(d + hop, d) for d in range(n_dev - hop)]
+            ext_p.append(jax.lax.ppermute(pb[:, :take], tile_axis, perm))
+            ext_t.append(jax.lax.ppermute(tb[:, :take], tile_axis, perm))
+        else:
+            ext_p.append(jnp.zeros((B, take, Wp, ch), pb.dtype))
+            ext_t.append(jnp.zeros((B, take, Wp, ch), tb.dtype))
+        got += take
+        hop += 1
+    pe = jnp.concatenate(ext_p, axis=1)  # [B, bh+halo, Wp, ch]
+    te = jnp.concatenate(ext_t, axis=1)
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    kernel = _gaussian_kernel(kernel_size, sigma)
+    mu_x = _filter2d(pe, kernel)
+    mu_y = _filter2d(te, kernel)
+    sigma_xx = _filter2d(pe * pe, kernel) - mu_x * mu_x
+    sigma_yy = _filter2d(te * te, kernel) - mu_y * mu_y
+    sigma_xy = _filter2d(pe * te, kernel) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_xx + sigma_yy + c2)
+    smap = num / den  # [B, bh, Wp - halo, ch]
+
+    # Window positions inside the REAL image: top row ≤ H-k, left ≤ W-k.
+    g_rows = idx * bh + jnp.arange(bh)
+    row_ok = g_rows <= H - kernel_size
+    col_ok = jnp.arange(Wp - halo) <= W - kernel_size
+    m = row_ok[None, :, None, None] & col_ok[None, None, :, None]
+    total = jnp.sum(jnp.where(m, smap, 0.0))
+    count = jnp.sum(m.astype(jnp.float32)) * B * ch
+    return total, count
+
+
+# ----------------------------------------------------------------------------
 # (data, tile) 2D-mesh train step.
 # ----------------------------------------------------------------------------
 
@@ -244,13 +330,15 @@ def make_tile_sharded_train_step(
     are strip-decomposable and reduce with one ``psum(tile)``; SSIM uses
     one ``all_gather`` of the image strips. Gradients psum over both axes.
     """
-    from pose_splatter_tpu.ops.ssim import ssim as ssim_fn
     from pose_splatter_tpu.train.loop import TrainState
 
     n_tile = mesh.shape[tile_axis]
     th, tw = tile_shape
     H, W = model.H, model.W
-    origins, n_ty, n_tx, pad = _padded_origins(H, W, tile_shape, n_tile)
+    # Row-aligned shards: each device owns whole tile rows (a horizontal
+    # image band) so SSIM can run strip-local with a halo exchange.
+    origins, n_ty, n_tx, pad = _padded_origins(H, W, tile_shape, n_tile,
+                                               row_aligned=True)
     T_real = n_ty * n_tx
     alpha_fn = _alpha_conic if model.gaussian_mode == "3d" else _alpha_ellipse
 
@@ -368,11 +456,13 @@ def make_tile_sharded_train_step(
         l1 = l1n / jnp.maximum(msum, 1.0)
         loss = iou.mean() + img_lambda * l1.mean()
         if ssim_lambda:
-            B_l = rgb_t.shape[0]
-            pred = gather_strips(rgb_t, B_l)
-            tgt = gather_strips(tgt_t, B_l)
-            sval = jax.vmap(lambda p, t: ssim_fn(p, t))(pred, tgt)
-            loss = loss + ssim_lambda * (1.0 - sval).mean()
+            # Strip-halo windowed SSIM: identical map values to ssim_fn,
+            # O(band) memory instead of the full-image all_gather.
+            s_sum, s_cnt = _ssim_band_partial(
+                rgb_t, tgt_t, tile_axis, n_tx, th, tw, H, W)
+            s_sum = jax.lax.psum(s_sum, tile_axis)
+            s_cnt = jax.lax.psum(s_cnt, tile_axis)
+            loss = loss + ssim_lambda * (1.0 - s_sum / s_cnt)
         # Mean over the (global) frame batch.
         loss = jax.lax.pmean(loss, data_axis)
         return loss
