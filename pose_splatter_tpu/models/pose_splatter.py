@@ -274,11 +274,13 @@ class PoseSplatter:
         self.sigma_cutoff = float(self.gaussian_config.get("sigma_cutoff", 3.0))
         # Max tiles one Gaussian may span in the pallas binning (overflow
         # is counted, never silent). The library default (rasterize_pallas.
-        # DEFAULT_EXPAND) is sized for the benchmark's ~2-3 px sigmas;
-        # trained models can grow larger Gaussians, so production configs
-        # may need to raise it (gaussian_config["tile_expand"]).
+        # DEFAULT_EXPAND=8) is sized for benchmark-scale ~2-3 px sigmas;
+        # TRAINED models grow larger Gaussians mid-optimization, so the
+        # model's production default is 16 (covers a 3σ radius ~28 px at
+        # the default (8,128) tiles; the r4 north-star run peaked well
+        # under that). Override via gaussian_config["tile_expand"].
         te = self.gaussian_config.get("tile_expand")
-        self.tile_expand = int(te) if te is not None else None
+        self.tile_expand = int(te) if te is not None else 16
         # Framework extension (docs/DESIGN.md §5): the reference's 2D mode
         # emits raw pixel coordinates and its renderer ignores the cameras
         # entirely (``gaussian_renderer.py:227-228``), which makes

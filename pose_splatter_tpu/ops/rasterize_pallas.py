@@ -211,17 +211,18 @@ def _build_instances(center, radius, valid, n_ty, n_tx,
     # per-slot row  dest[n,e] = astarts[tile] + excl[n,tile]  is extracted
     # from the [N, T] matrices with one masked reduction per slot index e
     # (selecting the tile whose rect slot equals e) — measured ~8x faster
-    # on TPU than take_along_axis + a [N, E] gather of astarts.
-    row_nt = astarts[None, :T].astype(jnp.float32) + excl_f  # [N, T]
+    # on TPU than take_along_axis + a [N, E] gather of astarts. Biasing
+    # rows by +1 folds the occupancy flag into the same reduction (0 ⇒
+    # dead slot), halving the per-slot [N, T] passes.
+    row_nt1 = astarts[None, :T].astype(jnp.float32) + excl_f + 1.0  # [N, T]
     oh_b = oh > 0
     dest_cols = []
-    ok_cols = []
     for ei in range(expand):  # unrolled: keeps temporaries at [N, T]
         sel_e = oh_b & (e_rm == ei)  # at most one True per row
-        dest_cols.append(jnp.sum(jnp.where(sel_e, row_nt, 0.0), axis=1))
-        ok_cols.append(jnp.any(sel_e, axis=1))
-    dest_f = jnp.stack(dest_cols, axis=1)  # [N, E]
-    ok = jnp.stack(ok_cols, axis=1)
+        dest_cols.append(jnp.sum(jnp.where(sel_e, row_nt1, 0.0), axis=1))
+    dest1 = jnp.stack(dest_cols, axis=1)  # [N, E]; 0 = dead slot
+    ok = dest1 > 0
+    dest_f = dest1 - 1.0
     gid = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], ok.shape)
     e = jnp.arange(expand, dtype=jnp.int32)[None, :]
     # Dead slots get out-of-range rows (dropped by the scatter).

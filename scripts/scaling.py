@@ -30,7 +30,16 @@ def main():
                         help="force a CPU backend with N virtual devices")
     parser.add_argument("--grid", type=int, default=16)
     parser.add_argument("--size", type=int, default=48, help="render W=H")
+    parser.add_argument("--width", type=int, default=0,
+                        help="render width (overrides --size)")
+    parser.add_argument("--height", type=int, default=0,
+                        help="render height (overrides --size)")
     parser.add_argument("--cameras", type=int, default=3)
+    parser.add_argument("--crop", default=None,
+                        help="volume_idx x0,x1,y0,y1,z0,z1 (north-star crop)")
+    parser.add_argument("--min-n", type=int, default=16)
+    parser.add_argument("--max-n", type=int, default=256)
+    parser.add_argument("--mode", default="3d", choices=["2d", "3d"])
     parser.add_argument("--per-device-batch", type=int, default=1)
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
@@ -61,25 +70,33 @@ def main():
     from pose_splatter_tpu.train.loop import create_train_state
     from pose_splatter_tpu.utils.cameras import camera_extrinsic_spherical
 
-    C, HW, g = args.cameras, args.size, args.grid
-    f = 1.4 * HW
-    Ks = np.array([[[f, 0, HW / 2], [0, f, HW / 2], [0, 0, 1]]] * C,
+    C, g = args.cameras, args.grid
+    W = args.width or args.size
+    H = args.height or args.size
+    if args.crop:
+        v = [int(x) for x in args.crop.split(",")]
+        volume_idx = [[v[0], v[1]], [v[2], v[3]], [v[4], v[5]]]
+    else:
+        volume_idx = [[0, g]] * 3
+    f = 1.4 * max(W, H)
+    Ks = np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]] * C,
                   np.float32)
     Es = np.stack([
         camera_extrinsic_spherical(1.2, np.pi / 3, 2 * np.pi * i / C)
         for i in range(C)
     ]).astype(np.float32)
     model = PoseSplatter(
-        Ks, Es, HW, HW, ell=0.5, grid_size=g, volume_idx=[[0, g]] * 3,
-        min_n=16, max_n=256, num_unets=2, base_filters=4,
+        Ks, Es, W, H, ell=0.5, grid_size=g, volume_idx=volume_idx,
+        min_n=args.min_n, max_n=args.max_n, num_unets=2, base_filters=4,
+        gaussian_mode=args.mode,
         render_mode="tiled" if jax.default_backend() != "tpu" else "pallas",
-        tile_shape=(16, 128) if jax.default_backend() == "tpu" else (16, 64),
+        tile_shape=None if jax.default_backend() == "tpu" else (16, 64),
     )
     tx = optax.adam(1e-3)
 
-    yy, xx = np.mgrid[0:HW, 0:HW]
-    mask = (((yy - HW / 2) ** 2 + (xx - HW / 2) ** 2)
-            < (HW / 4) ** 2).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    mask = (((yy - H / 2) ** 2 + (xx - W / 2) ** 2)
+            < (H / 4) ** 2).astype(np.float32)
     img = np.stack([mask * 0.7, mask * 0.3, mask * 0.5], -1)
 
     def make_step_and_inputs(devices):
@@ -92,9 +109,9 @@ def main():
             create_train_state(model, jax.random.PRNGKey(0), tx), mesh)
         batch = shard_batch(dict(
             mask=jnp.broadcast_to(jnp.asarray(np.stack([mask] * C))[None],
-                                  (B, C, HW, HW)),
+                                  (B, C, H, W)),
             img=jnp.broadcast_to(jnp.asarray(np.stack([img] * C))[None],
-                                 (B, C, HW, HW, 3)),
+                                 (B, C, H, W, 3)),
             p_3d=jnp.zeros((B, 3)),
             angle=jnp.linspace(0, 0.4, B),
             view_idx=jnp.zeros((B,), jnp.int32),
@@ -107,7 +124,12 @@ def main():
     report["backend"] = jax.default_backend()
     report["devices_total"] = len(jax.devices())
     report["per_device_batch"] = args.per_device_batch
-    report["config"] = f"{HW}x{HW} grid{g} C{C}"
+    report["config"] = (f"{W}x{H} grid{g} C{C} mode={args.mode}"
+                        + (f" crop({args.crop})" if args.crop else ""))
+    mpix = W * H / 1e6
+    for row in report.get("rows", []):
+        row["mpix_per_s_per_device"] = round(
+            row["steps_per_s"] * args.per_device_batch * mpix, 3)
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as fh:

@@ -96,7 +96,8 @@ def make_scene(C, H, W, T=16, seed=0, radii=(0.10, 0.05, 0.04)):
 
 
 def build_model(C, H, W, grid, mode, crop=None, holdout=None,
-                min_n=512, max_n=8192, anchored=False):
+                min_n=512, max_n=8192, anchored=False, carve_cap=None,
+                ell=0.35):
     """The benchmark PoseSplatter config (shared with temporal_benchmark)."""
     if crop:
         v = [int(x) for x in crop.split(",")]
@@ -106,12 +107,13 @@ def build_model(C, H, W, grid, mode, crop=None, holdout=None,
     Ks, Es = make_rig(C, H, W)
     return PoseSplatter(
         Ks, Es,
-        W, H, ell=0.35, grid_size=grid, volume_idx=volume_idx,
+        W, H, ell=ell, grid_size=grid, volume_idx=volume_idx,
         holdout_views=[C - 1 if holdout is None else holdout],
         gaussian_mode=mode,
         gaussian_config={"view_anchored": True} if anchored else None,
         render_mode="pallas" if jax.default_backend() == "tpu" else "tiled",
         min_n=min_n, max_n=max_n,
+        carve_visibility_cap=carve_cap,
     )
 
 
@@ -139,6 +141,10 @@ def main():
                         "extension; the reference's raw-pixel 2D head is "
                         "view-independent and cannot do multi-view training "
                         "— docs/DESIGN.md §5)")
+    parser.add_argument("--carve-cap", type=int, default=None,
+                        help="carve_visibility_cap (ops/carving.py): static "
+                        "occupied-set compaction for the visibility sort; "
+                        "overflow counted")
     parser.add_argument("--per-camera", action="store_true",
                         help="also evaluate ALL C views per frame (observed "
                         "included) with per-camera l1/iou/soft_iou/psnr/ssim "
@@ -165,7 +171,8 @@ def main():
     g = args.grid
     model = build_model(C, H, W, g, args.mode, crop=args.crop,
                         holdout=holdout, anchored=args.anchored,
-                        min_n=args.min_n, max_n=args.max_n)
+                        min_n=args.min_n, max_n=args.max_n,
+                        carve_cap=args.carve_cap)
     tx = optax.adam(args.lr)
     state = create_train_state(model, jax.random.PRNGKey(0), tx)
     params = init_unet_primary_skip(state.params)
@@ -308,6 +315,13 @@ def main():
         report["observed_psnr_db"] = round(obs_psnr, 2)
         report["observed_ssim"] = round(obs_ssim, 4)
         report["holdout_view"] = holdout
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if ms:
+            report["hbm_peak_bytes"] = int(ms.get("peak_bytes_in_use", 0))
+            report["hbm_limit_bytes"] = int(ms.get("bytes_limit", 0))
+    except Exception:
+        pass
     print(json.dumps(report, indent=2))
     if args.out:
         with open(args.out, "w") as f:
