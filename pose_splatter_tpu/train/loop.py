@@ -120,6 +120,68 @@ def make_train_step(
     return train_step
 
 
+def make_train_multi_step(
+    model,
+    tx: optax.GradientTransformation,
+    img_lambda: float,
+    ssim_lambda: float,
+    frames: Dict[str, jnp.ndarray],
+    steps_per_call: int = 8,
+):
+    """K train steps per dispatch, scanning over device-resident frames.
+
+    Remote/relay TPU attachments pay a fixed per-dispatch round trip
+    (~100-150 ms through the axon relay) that a state→state training
+    chain cannot pipeline away; chaining K steps inside one jit amortizes
+    it to 1/K (measured: 272 → ~150 ms/step wall at the north-star shape,
+    K=8). Also useful on directly-attached chips to amortize dispatch.
+
+    ``frames``: stacked per-frame payloads resident on device —
+        mask [T,C',H,W], img [T,C',H,W,3], p_3d [T,3], angle [T].
+    Returns ``step(state, frame_idx [K], view_idx [K], obs_idx [K])
+    -> (state, metrics_of_last_step)``; each scan iteration gathers its
+    frame from the resident stack (one dynamic row slice, no H2D).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        loss, (metrics, new_bs) = _forward_loss(
+            model, params, batch_stats, batch, img_lambda, ssim_lambda, True
+        )
+        return loss, (metrics, new_bs)
+
+    def one(state, idx):
+        fi, vi, oi = idx
+        batch = dict(
+            mask=frames["mask"][fi],
+            img=frames["img"][fi],
+            p_3d=frames["p_3d"][fi],
+            angle=frames["angle"][fi],
+            view_idx=vi,
+            obs_idx=oi,
+        )
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+        ), metrics
+
+    @jax.jit
+    def multi_step(state: TrainState, frame_idx, view_idx, obs_idx):
+        state, metrics = jax.lax.scan(
+            one, state, (frame_idx, view_idx, obs_idx),
+            length=steps_per_call)
+        return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    return multi_step
+
+
 def make_eval_step(model, img_lambda: float, ssim_lambda: float):
     """Jitted validation-loss step for one frame batch (no grads, running
     BN stats; mirrors ``calculate_validation_loss`` train_script.py:39-73)."""

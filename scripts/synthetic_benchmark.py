@@ -150,6 +150,12 @@ def main():
                         "included) with per-camera l1/iou/soft_iou/psnr/ssim "
                         "— the reference's metrics_test.csv protocol "
                         "(scripts/utils/evaluate_model.py:152-227)")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help=">1 chains K train steps in one dispatch "
+                        "(lax.scan over device-resident frames) — "
+                        "amortizes the ~100-150 ms per-dispatch round "
+                        "trip of relay-attached TPUs (train/loop.py "
+                        "make_train_multi_step)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--save-state", default=None,
                         help="pickle the trained params/batch_stats here "
@@ -205,20 +211,56 @@ def main():
 
     # Warm (compile) outside the timed window, then train. The step donates
     # its input state, so the warmup must thread it like any other step.
-    state, warm_metrics = step(state, batches[(0, obs[0])])
-    jax.block_until_ready(warm_metrics)
-    t_start = time.perf_counter()
-    metrics = {}
-    for i in range(args.steps):
-        t = int(rng.integers(T))
-        view = int(rng.choice(obs))
-        state, metrics = step(state, batches[(t, view)])
-        if (i + 1) % 50 == 0:
-            print(f"step {i + 1}: " +
-                  " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()),
-                  file=sys.stderr)
-    jax.block_until_ready(metrics)
-    train_time = time.perf_counter() - t_start
+    if args.steps_per_call > 1:
+        from pose_splatter_tpu.train.loop import make_train_multi_step
+
+        frames_dev = dict(
+            mask=jnp.asarray(masks[:, obs]),
+            img=jnp.asarray(imgs[:, obs]),
+            p_3d=jnp.asarray(centers),
+            angle=jnp.asarray(angles),
+        )
+        K = args.steps_per_call
+        mstep = make_train_multi_step(
+            model, tx, img_lambda=0.5, ssim_lambda=0.1,
+            frames=frames_dev, steps_per_call=K)
+
+        def draw(k):
+            fi = rng.integers(T, size=k).astype(np.int32)
+            vs = rng.choice(obs, size=k).astype(np.int32)
+            oi = np.array([obs.index(int(v)) for v in vs], np.int32)
+            return jnp.asarray(fi), jnp.asarray(vs), jnp.asarray(oi)
+
+        state, warm_metrics = mstep(state, *draw(K))
+        jax.block_until_ready(warm_metrics)
+        t_start = time.perf_counter()
+        metrics = {}
+        done = 0
+        while done < args.steps:
+            state, metrics = mstep(state, *draw(K))
+            done += K
+            if done % max(K, 50 - 50 % K) < K:
+                print(f"step {done}: " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in metrics.items()),
+                    file=sys.stderr)
+        jax.block_until_ready(metrics)
+        train_time = time.perf_counter() - t_start
+    else:
+        state, warm_metrics = step(state, batches[(0, obs[0])])
+        jax.block_until_ready(warm_metrics)
+        t_start = time.perf_counter()
+        metrics = {}
+        for i in range(args.steps):
+            t = int(rng.integers(T))
+            view = int(rng.choice(obs))
+            state, metrics = step(state, batches[(t, view)])
+            if (i + 1) % 50 == 0:
+                print(f"step {i + 1}: " +
+                      " ".join(f"{k}={float(v):.4f}"
+                               for k, v in metrics.items()),
+                      file=sys.stderr)
+        jax.block_until_ready(metrics)
+        train_time = time.perf_counter() - t_start
 
     # Evaluate on the HELD-OUT view over all frames.
     variables = {"params": state.params, "batch_stats": state.batch_stats}
