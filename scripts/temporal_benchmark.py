@@ -170,10 +170,14 @@ def main():
             ).save(os.path.join(frames_dir, f"frame_{i:05d}.png"))
 
         # The loader prefetches disk reads ahead of the device; a writer
-        # pool encodes PNGs behind it — the render stays the critical path.
+        # pool encodes PNGs behind it; renders are dispatched one frame
+        # AHEAD of the host fetch so the device→host transfer (and any
+        # relay latency) overlaps the next frame's render — the render
+        # stays the critical path.
         loader = FrameLoader(ds, batch_size=1, shuffle=False, workers=2)
         t0 = time.perf_counter()
         done = 0
+        pending = None  # (frame_id, device rgb) awaiting fetch
         with ThreadPoolExecutor(max_workers=2) as pngpool:
             futs = []
             while done < args.length:
@@ -183,11 +187,16 @@ def main():
                         jnp.asarray(b["img"][0]),
                         jnp.asarray(b["p_3d"][0]),
                         jnp.asarray(b["angle"][0]))
-                    futs.append(pngpool.submit(save_png, done,
-                                               np.asarray(rgb)))
+                    if pending is not None:
+                        futs.append(pngpool.submit(
+                            save_png, pending[0], np.asarray(pending[1])))
+                    pending = (done, rgb)
                     done += 1
                     if done >= args.length:
                         break
+            if pending is not None:
+                futs.append(pngpool.submit(
+                    save_png, pending[0], np.asarray(pending[1])))
             for f_ in futs:
                 f_.result()
         elapsed = time.perf_counter() - t0
