@@ -169,3 +169,20 @@ class TestForward:
         model = _model()
         variables = model.init(jax.random.PRNGKey(0))
         assert float(variables["params"]["scale"][0]) == pytest.approx(-5.5)
+
+
+class TestTileExpandDefaults:
+    def test_model_production_default_is_16(self):
+        # Trained models grow Gaussians past the benchmark-scale sigmas the
+        # library DEFAULT_EXPAND=8 is sized for (docs/PERF_r05.md).
+        assert _model().tile_expand == 16
+
+    def test_gaussian_config_override(self):
+        m = _model(gaussian_mode="2d",
+                   gaussian_config={"tile_expand": 24})
+        assert m.tile_expand == 24
+
+    def test_carve_visibility_cap_passthrough(self):
+        m = _model(carve_visibility_cap=1234)
+        assert m.carve_visibility_cap == 1234
+        assert _model().carve_visibility_cap is None
