@@ -139,7 +139,7 @@ def main():
         import h5py
         from concurrent.futures import ThreadPoolExecutor
 
-        from pose_splatter_tpu.data.dataset import FrameDataset, FrameLoader
+        from pose_splatter_tpu.data.dataset import FrameDataset
         from PIL import Image
 
         root = args.keep_frames or tempfile.mkdtemp(prefix="temporal_")
@@ -169,31 +169,36 @@ def main():
                 np.clip(rgb_np * 255, 0, 255).astype(np.uint8)
             ).save(os.path.join(frames_dir, f"frame_{i:05d}.png"))
 
-        # The loader prefetches disk reads ahead of the device; a writer
-        # pool encodes PNGs behind it; renders are dispatched one frame
-        # AHEAD of the host fetch so the device→host transfer (and any
-        # relay latency) overlaps the next frame's render — the render
-        # stays the critical path.
-        loader = FrameLoader(ds, batch_size=1, shuffle=False, workers=2)
+        # Reader threads prefetch disk reads (h5 + decode) ahead of the
+        # device; a writer pool encodes PNGs behind it; renders are
+        # dispatched one frame AHEAD of the host fetch so the device→host
+        # transfer (and any relay latency) overlaps the next frame's
+        # render — the render stays the critical path.
+        def read_frame(i):
+            # split="all" enumerates frame x view; stride C visits each
+            # frame once (the render target is the holdout view).
+            m, im, p, a, _ = ds.get((i % D) * C, view_idx=0)
+            return (jnp.asarray(m), jnp.asarray(im),
+                    jnp.asarray(p), jnp.asarray(a))
+
         t0 = time.perf_counter()
-        done = 0
         pending = None  # (frame_id, device rgb) awaiting fetch
-        with ThreadPoolExecutor(max_workers=2) as pngpool:
+        with ThreadPoolExecutor(max_workers=2) as readpool, \
+                ThreadPoolExecutor(max_workers=2) as pngpool:
             futs = []
-            while done < args.length:
-                for b in loader:
-                    rgb, alpha = render_frame(
-                        variables, jnp.asarray(b["mask"][0]),
-                        jnp.asarray(b["img"][0]),
-                        jnp.asarray(b["p_3d"][0]),
-                        jnp.asarray(b["angle"][0]))
-                    if pending is not None:
-                        futs.append(pngpool.submit(
-                            save_png, pending[0], np.asarray(pending[1])))
-                    pending = (done, rgb)
-                    done += 1
-                    if done >= args.length:
-                        break
+            window = 4
+            reads = {i: readpool.submit(read_frame, i)
+                     for i in range(min(window, args.length))}
+            for i in range(args.length):
+                m, im, p, a = reads.pop(i).result()
+                if i + window < args.length:
+                    reads[i + window] = readpool.submit(
+                        read_frame, i + window)
+                rgb, alpha = render_frame(variables, m, im, p, a)
+                if pending is not None:
+                    futs.append(pngpool.submit(
+                        save_png, pending[0], np.asarray(pending[1])))
+                pending = (i, rgb)
             if pending is not None:
                 futs.append(pngpool.submit(
                     save_png, pending[0], np.asarray(pending[1])))
