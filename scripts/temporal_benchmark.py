@@ -165,9 +165,13 @@ def main():
                           C, holdout_views=[holdout], split="all")
 
         def save_png(i, rgb_np):
+            # compress_level 1: deflate level 6 costs ~350 ms/frame on a
+            # 2-core host and caps the whole pipeline at ~3 fps; level 1
+            # is ~4x faster at ~15% larger files (still lossless).
             Image.fromarray(
                 np.clip(rgb_np * 255, 0, 255).astype(np.uint8)
-            ).save(os.path.join(frames_dir, f"frame_{i:05d}.png"))
+            ).save(os.path.join(frames_dir, f"frame_{i:05d}.png"),
+                   compress_level=1)
 
         # Reader threads prefetch disk reads (h5 + decode) ahead of the
         # device; a writer pool encodes PNGs behind it; renders are
