@@ -140,7 +140,10 @@ def make_train_multi_step(
         mask [T,C',H,W], img [T,C',H,W,3], p_3d [T,3], angle [T].
     Returns ``step(state, frame_idx [K], view_idx [K], obs_idx [K])
     -> (state, metrics_of_last_step)``; each scan iteration gathers its
-    frame from the resident stack (one dynamic row slice, no H2D).
+    frame from the resident stack (one dynamic row slice, no H2D). The
+    stack enters the jit as an ARGUMENT (not a closure constant): baked
+    closure arrays are serialized into the compile request, which at
+    high-res shapes exceeds the remote-compile body limit (HTTP 413).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -149,35 +152,44 @@ def make_train_multi_step(
         )
         return loss, (metrics, new_bs)
 
-    def one(state, idx):
-        fi, vi, oi = idx
-        batch = dict(
-            mask=frames["mask"][fi],
-            img=frames["img"][fi],
-            p_3d=frames["p_3d"][fi],
-            angle=frames["angle"][fi],
-            view_idx=vi,
-            obs_idx=oi,
-        )
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (metrics, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch
-        )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_bs,
-            opt_state=new_opt_state,
-        ), metrics
+    def one_factory(frames_arg):
+        def one(state, idx):
+            fi, vi, oi = idx
+            batch = dict(
+                mask=frames_arg["mask"][fi],
+                img=frames_arg["img"][fi],
+                p_3d=frames_arg["p_3d"][fi],
+                angle=frames_arg["angle"][fi],
+                view_idx=vi,
+                obs_idx=oi,
+            )
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (metrics, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt_state,
+            ), metrics
+        return one
 
     @jax.jit
-    def multi_step(state: TrainState, frame_idx, view_idx, obs_idx):
+    def _multi_step(state: TrainState, frames_arg, frame_idx, view_idx,
+                    obs_idx):
         state, metrics = jax.lax.scan(
-            one, state, (frame_idx, view_idx, obs_idx),
+            one_factory(frames_arg), state, (frame_idx, view_idx, obs_idx),
             length=steps_per_call)
         return state, jax.tree.map(lambda x: x[-1], metrics)
+
+    frames = {k: jnp.asarray(v) for k, v in frames.items()}
+
+    def multi_step(state, frame_idx, view_idx, obs_idx):
+        return _multi_step(state, frames, frame_idx, view_idx, obs_idx)
 
     return multi_step
 
