@@ -40,6 +40,8 @@ def main():
     parser.add_argument("--min-n", type=int, default=16)
     parser.add_argument("--max-n", type=int, default=256)
     parser.add_argument("--mode", default="3d", choices=["2d", "3d"])
+    parser.add_argument("--num-unets", type=int, default=2)
+    parser.add_argument("--base-filters", type=int, default=4)
     parser.add_argument("--per-device-batch", type=int, default=1)
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
@@ -87,7 +89,8 @@ def main():
     ]).astype(np.float32)
     model = PoseSplatter(
         Ks, Es, W, H, ell=0.5, grid_size=g, volume_idx=volume_idx,
-        min_n=args.min_n, max_n=args.max_n, num_unets=2, base_filters=4,
+        min_n=args.min_n, max_n=args.max_n,
+        num_unets=args.num_unets, base_filters=args.base_filters,
         gaussian_mode=args.mode,
         render_mode="tiled" if jax.default_backend() != "tpu" else "pallas",
         tile_shape=None if jax.default_backend() == "tpu" else (16, 64),
@@ -124,7 +127,8 @@ def main():
     report["backend"] = jax.default_backend()
     report["devices_total"] = len(jax.devices())
     report["per_device_batch"] = args.per_device_batch
-    report["config"] = (f"{W}x{H} grid{g} C{C} mode={args.mode}"
+    report["config"] = (f"{W}x{H} grid{g} C{C} mode={args.mode} "
+                        f"unets{args.num_unets} bf{args.base_filters}"
                         + (f" crop({args.crop})" if args.crop else ""))
     mpix = W * H / 1e6
     for row in report.get("rows", []):
