@@ -108,7 +108,15 @@ take_rows_unique.defvjp(_take_rows_unique_fwd, _take_rows_unique_bwd)
 
 
 class PoseSplatterNet(nn.Module):
-    """Trainable parameters: U-Net stack, Gaussian MLP head, scale offset."""
+    """Trainable parameters: U-Net stack, Gaussian MLP head, scale offset.
+
+    ``remat`` wraps each U-Net in ``nn.remat`` (store only the block
+    input, recompute activations in the backward): the grid-256 /
+    1152x1024 config's step otherwise wants ~80 GB of HBM for U-Net
+    backward activations + XLA's auto-remat copies (docs/PERF_r05.md §6)
+    against the chip's 16 GB. Costs ~one extra U-Net forward per U-Net
+    per step; off by default.
+    """
 
     in_channels: int = 4
     out_channels: int = 8
@@ -117,11 +125,14 @@ class PoseSplatterNet(nn.Module):
     input_size: Tuple[int, int, int] = (64, 64, 64)
     num_gaussian_params: int = 14
     ablation: bool = False
+    remat: bool = False
 
     def setup(self):
         if not self.ablation:
+            cls = (nn.remat(Unet3D, static_argnums=(2,))
+                   if self.remat else Unet3D)
             self.unets = [
-                Unet3D(
+                cls(
                     in_channels=self.in_channels,
                     out_channels=self.in_channels,
                     base_filters=self.base_filters,
@@ -130,7 +141,7 @@ class PoseSplatterNet(nn.Module):
                 )
                 for i in range(self.num_unets - 1)
             ]
-            self.final_unet = Unet3D(
+            self.final_unet = cls(
                 in_channels=self.in_channels,
                 out_channels=self.out_channels,
                 base_filters=self.base_filters,
@@ -229,6 +240,7 @@ class PoseSplatter:
         tile_shape: Optional[Tuple[int, int]] = None,
         tile_capacity: Optional[int] = None,
         carve_visibility_cap: Optional[int] = None,
+        remat_unets: bool = False,
     ):
         assert volume_idx is not None, "volume_idx is required"
         assert gaussian_mode in ("2d", "3d")
@@ -305,6 +317,7 @@ class PoseSplatter:
             input_size=self.input_size,
             num_gaussian_params=self.num_gaussian_params,
             ablation=ablation,
+            remat=remat_unets,
         )
 
     # ------------------------------------------------------------------

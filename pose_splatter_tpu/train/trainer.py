@@ -71,6 +71,7 @@ def build_model(config: Config, ablation: bool = False,
         num_unets=config.get("num_unets", 3),
         base_filters=config.get("base_filters", 8),
         carve_visibility_cap=config.get("carve_visibility_cap", None),
+        remat_unets=config.get("remat_unets", False),
     )
 
 

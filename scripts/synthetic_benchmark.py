@@ -97,7 +97,7 @@ def make_scene(C, H, W, T=16, seed=0, radii=(0.10, 0.05, 0.04)):
 
 def build_model(C, H, W, grid, mode, crop=None, holdout=None,
                 min_n=512, max_n=8192, anchored=False, carve_cap=None,
-                ell=0.35):
+                ell=0.35, remat_unets=False):
     """The benchmark PoseSplatter config (shared with temporal_benchmark)."""
     if crop:
         v = [int(x) for x in crop.split(",")]
@@ -114,6 +114,7 @@ def build_model(C, H, W, grid, mode, crop=None, holdout=None,
         render_mode="pallas" if jax.default_backend() == "tpu" else "tiled",
         min_n=min_n, max_n=max_n,
         carve_visibility_cap=carve_cap,
+        remat_unets=remat_unets,
     )
 
 
@@ -141,6 +142,10 @@ def main():
                         "extension; the reference's raw-pixel 2D head is "
                         "view-independent and cannot do multi-view training "
                         "— docs/DESIGN.md §5)")
+    parser.add_argument("--remat-unets", action="store_true",
+                        help="nn.remat the U-Net stack (recompute in "
+                        "backward) — required to fit the grid-256 "
+                        "high-res step in 16 GB HBM")
     parser.add_argument("--carve-cap", type=int, default=None,
                         help="carve_visibility_cap (ops/carving.py): static "
                         "occupied-set compaction for the visibility sort; "
@@ -178,7 +183,8 @@ def main():
     model = build_model(C, H, W, g, args.mode, crop=args.crop,
                         holdout=holdout, anchored=args.anchored,
                         min_n=args.min_n, max_n=args.max_n,
-                        carve_cap=args.carve_cap)
+                        carve_cap=args.carve_cap,
+                        remat_unets=args.remat_unets)
     tx = optax.adam(args.lr)
     state = create_train_state(model, jax.random.PRNGKey(0), tx)
     params = init_unet_primary_skip(state.params)

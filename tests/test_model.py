@@ -186,3 +186,22 @@ class TestTileExpandDefaults:
         m = _model(carve_visibility_cap=1234)
         assert m.carve_visibility_cap == 1234
         assert _model().carve_visibility_cap is None
+
+
+class TestRematUnets:
+    def test_same_params_and_forward(self):
+        import jax
+        m0 = _model(gaussian_mode="3d")
+        m1 = _model(gaussian_mode="3d", remat_unets=True)
+        v0 = m0.init(jax.random.PRNGKey(0))
+        v1 = m1.init(jax.random.PRNGKey(0))
+        # Identical param trees (checkpoints interchange freely)...
+        assert jax.tree_util.tree_structure(v0) == \
+            jax.tree_util.tree_structure(v1)
+        masks, imgs = _inputs()
+        r0, a0, _ = m0.forward(v0, masks, imgs, jnp.zeros(3), 0.1, 0,
+                               train=False)
+        # ...and identical forwards when fed the SAME params.
+        r1, a1, _ = m1.forward(v0, masks, imgs, jnp.zeros(3), 0.1, 0,
+                               train=False)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-6)
