@@ -101,6 +101,15 @@ def main():
             variables, mask, img, p_3d, angle, holdout, train=False)
         return rgb[0], alpha[0]
 
+    @jax.jit
+    def render_frame_u8(variables, mask, img, p_3d, angle):
+        """Export-path render: uint8 on DEVICE. The f32 image is 3.5 MB —
+        ~130 ms/frame through the relay, fetch-bound; u8 is 4x smaller
+        and exactly what the PNG writer consumes."""
+        rgb, alpha, _ = model.forward(
+            variables, mask, img, p_3d, angle, holdout, train=False)
+        return jnp.clip(rgb[0] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
     payload = [(jnp.asarray(masks[t][obs]), jnp.asarray(imgs[t][obs]),
                 jnp.asarray(centers[t]), jnp.asarray(angles[t]))
                for t in range(T)]
@@ -164,14 +173,13 @@ def main():
         ds = FrameDataset(img_fn, os.path.join(root, "center_rotation.npz"),
                           C, holdout_views=[holdout], split="all")
 
-        def save_png(i, rgb_np):
+        def save_png(i, rgb_u8):
             # compress_level 1: deflate level 6 costs ~350 ms/frame on a
             # 2-core host and caps the whole pipeline at ~3 fps; level 1
             # is ~4x faster at ~15% larger files (still lossless).
-            Image.fromarray(
-                np.clip(rgb_np * 255, 0, 255).astype(np.uint8)
-            ).save(os.path.join(frames_dir, f"frame_{i:05d}.png"),
-                   compress_level=1)
+            Image.fromarray(np.asarray(rgb_u8)).save(
+                os.path.join(frames_dir, f"frame_{i:05d}.png"),
+                compress_level=1)
 
         # Reader threads prefetch disk reads (h5 + decode) ahead of the
         # device; a writer pool encodes PNGs behind it; renders are
@@ -198,11 +206,11 @@ def main():
                 if i + window < args.length:
                     reads[i + window] = readpool.submit(
                         read_frame, i + window)
-                rgb, alpha = render_frame(variables, m, im, p, a)
+                rgb_u8 = render_frame_u8(variables, m, im, p, a)
                 if pending is not None:
                     futs.append(pngpool.submit(
                         save_png, pending[0], np.asarray(pending[1])))
-                pending = (i, rgb)
+                pending = (i, rgb_u8)
             if pending is not None:
                 futs.append(pngpool.submit(
                     save_png, pending[0], np.asarray(pending[1])))
@@ -222,11 +230,17 @@ def main():
         if not args.keep_frames:
             shutil.rmtree(root, ignore_errors=True)
     else:
-        # Timed sequence: every frame is a full forward + host fetch.
+        # Timed sequence: every frame is a full forward + host fetch of
+        # the uint8 export image, fetched one frame BEHIND the render so
+        # the transfer overlaps the next frame's forward.
         t0 = time.perf_counter()
+        pending = None
         for i in range(args.length):
-            rgb, alpha = render_frame(variables, *payload[i % T])
-            np.asarray(rgb)  # host fetch
+            rgb_u8 = render_frame_u8(variables, *payload[i % T])
+            if pending is not None:
+                np.asarray(pending)  # host fetch (export boundary)
+            pending = rgb_u8
+        np.asarray(pending)
         elapsed = time.perf_counter() - t0
         mux_s = None
 
