@@ -155,9 +155,15 @@ def make_train_multi_step(
     def one_factory(frames_arg):
         def one(state, idx):
             fi, vi, oi = idx
+            # img is stored channel-flattened ([T, C', H, W*3]): XLA spills
+            # loop invariants of scan bodies through compressed copies, and
+            # the uncompressed copy of a channel-minor image pads 3 lanes
+            # to 128 (an 11 GB allocation at the 1152x1024 highres shape).
+            img = frames_arg["img"][fi]
+            img = img.reshape(img.shape[0], img.shape[1], -1, 3)
             batch = dict(
                 mask=frames_arg["mask"][fi],
-                img=frames_arg["img"][fi],
+                img=img,
                 p_3d=frames_arg["p_3d"][fi],
                 angle=frames_arg["angle"][fi],
                 view_idx=vi,
@@ -187,6 +193,8 @@ def make_train_multi_step(
         return state, jax.tree.map(lambda x: x[-1], metrics)
 
     frames = {k: jnp.asarray(v) for k, v in frames.items()}
+    img = frames["img"]
+    frames["img"] = img.reshape(*img.shape[:3], -1)  # [T, C', H, W*3]
 
     def multi_step(state, frame_idx, view_idx, obs_idx):
         return _multi_step(state, frames, frame_idx, view_idx, obs_idx)
